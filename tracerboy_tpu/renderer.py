@@ -2,16 +2,271 @@
 
 The TPU-native analog of the reference's TracerBoy class
 (TracerBoy/TracerBoy.h:158-769): owns the compiled scene, the persistent
-render state pytree (accumulators, history, rng counters), and the per-frame
-step function. Placeholder until trace/shade land; grows with each phase.
+render state pytree (accumulators, ping-pong history, sample counter — the
+buffers of TracerBoy.h:515-518 & RayGenCommon.h:690-728), and the per-frame
+jitted step. Progressive semantics match the reference:
+
+- the color accumulator stores (sum of radiance * filter_weight, sum of
+  filter_weight) — display divides rgb by alpha;
+- a secondary "jittered" accumulator receives each sample with probability
+  1/2; comparing the two estimates convergence (VarianceUtil.h:2-31);
+- world-position AOVs ping-pong even/odd frames for TAA reprojection.
 """
 
 from __future__ import annotations
 
+import time
+from dataclasses import dataclass, field
 
-class RenderState:  # placeholder — defined fully once trace/ lands
-    pass
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tracerboy_tpu.core import rng as tbrng
+from tracerboy_tpu.core import tonemap as tm
+from tracerboy_tpu.scene.compile import CompiledScene, load_scene
+from tracerboy_tpu.trace.wavefront import WaveConfig, render_wave
+from tracerboy_tpu.utils.config import (
+    OutputSettings,
+    OutputType,
+    RenderMode,
+    default_output_settings,
+    invalidates_history,
+)
 
 
-class Renderer:  # placeholder — defined fully once trace/ lands
-    pass
+@dataclass
+class RenderState:
+    """Persistent accumulation state (all device arrays)."""
+
+    accum: jnp.ndarray            # (H, W, 4): rgb * weight, weight
+    accum_jittered: jnp.ndarray   # (H, W, 4)
+    world_pos: list               # two (H, W, 4) ping-pong buffers
+    spp: int = 0
+    # RealTime-mode history (filled by post/TAA)
+    taa_color_history: jnp.ndarray | None = None
+    taa_moment_history: jnp.ndarray | None = None
+    taa_indirect_history: jnp.ndarray | None = None
+
+
+def _zeros(h, w, c=4):
+    return jnp.zeros((h, w, c), jnp.float32)
+
+
+class Renderer:
+    def __init__(
+        self,
+        scene,
+        settings: OutputSettings | None = None,
+        film_size: tuple | None = None,
+    ):
+        if isinstance(scene, str):
+            scene = load_scene(scene, film_size=film_size)
+        assert isinstance(scene, CompiledScene)
+        self.compiled = scene
+        self.settings = settings or default_output_settings()
+        self.width = scene.film_width
+        self.height = scene.film_height
+        if film_size is not None:
+            self.width, self.height = film_size
+        self.scene_pytree = scene.as_pytree()
+        self.state = self.make_state()
+        self._start_time = time.time()
+
+    # -- state -----------------------------------------------------------
+    def make_state(self) -> RenderState:
+        h, w = self.height, self.width
+        return RenderState(
+            accum=_zeros(h, w),
+            accum_jittered=_zeros(h, w),
+            world_pos=[_zeros(h, w), _zeros(h, w)],
+            spp=0,
+        )
+
+    def invalidate_history(self):
+        """Restart accumulation (TracerBoy::InvalidateHistory,
+        TracerBoy.cpp:3569-3575)."""
+        self.state = self.make_state()
+        self._start_time = time.time()
+
+    def update_settings(self, new_settings: OutputSettings):
+        if invalidates_history(self.settings, new_settings):
+            self.invalidate_history()
+        self.settings = new_settings
+
+    # -- camera update (TracerBoy::Update, TracerBoy.cpp:3386-3500) ------
+    def move_camera(self, forward=0.0, strafe=0.0, upward=0.0,
+                    yaw=0.0, pitch=0.0):
+        cam = self.compiled.camera
+        view = cam.look_at - cam.position
+        view = view / np.linalg.norm(view)
+        right = cam.right / np.linalg.norm(cam.right)
+        up = cam.up / np.linalg.norm(cam.up)
+
+        delta = forward * view + strafe * right + upward * up
+        cam.position = (cam.position + delta).astype(np.float32)
+
+        if yaw != 0.0 or pitch != 0.0:
+            def rot(axis, ang):
+                axis = axis / np.linalg.norm(axis)
+                K = np.array([
+                    [0, -axis[2], axis[1]],
+                    [axis[2], 0, -axis[0]],
+                    [-axis[1], axis[0], 0],
+                ])
+                return (np.eye(3) + np.sin(ang) * K
+                        + (1 - np.cos(ang)) * (K @ K))
+            R = rot(up, yaw) @ rot(right, pitch)
+            view = R @ view
+            right = rot(up, yaw) @ right
+            up = np.cross(right, view)
+            cam.right = right.astype(np.float32)
+            cam.up = (up / np.linalg.norm(up)).astype(np.float32)
+        cam.look_at = (cam.position + view).astype(np.float32)
+        self.scene_pytree["camera"] = cam.as_pytree()
+        self.invalidate_history()
+
+    # -- config ----------------------------------------------------------
+    def wave_config(self) -> WaveConfig:
+        s = self.settings
+        perf = s.performance_settings
+        return WaveConfig(
+            width=self.width,
+            height=self.height,
+            max_bounces=min(perf.max_bounces, 32),
+            leaf_size=self.compiled.leaf_size,
+            num_lights=self.compiled.num_lights,
+            enable_nee=perf.enable_next_event_estimation,
+            enable_ris=perf.enable_sampling_importance_resampling,
+            filter_type=int(s.camera_settings.filter_type),
+            filter_width=s.camera_settings.filter_width,
+            use_blue_noise=perf.use_blue_noise,
+            decouple_albedo=(s.render_mode == RenderMode.REAL_TIME),
+            has_env=self.compiled.has_env,
+        )
+
+    def frame_params(self, fixed_offset=None) -> dict:
+        s = self.settings
+        p = dict(
+            dof_focus=jnp.float32(s.camera_settings.dof_focus_distance),
+            dof_aperture=jnp.float32(s.camera_settings.dof_aperture_width),
+            firefly_clamp=jnp.float32(s.fireflies_clamp),
+            seed=jnp.int32(0),
+        )
+        if fixed_offset is not None:
+            p["fixed_pixel_offset"] = jnp.asarray(fixed_offset, jnp.float32)
+        return p
+
+    # -- stepping --------------------------------------------------------
+    def render_sample(self, n: int = 1):
+        """Trace n progressive samples, accumulating into state."""
+        cfg = self.wave_config()
+        pixel_ids = jnp.arange(self.width * self.height, dtype=jnp.int32)
+        for _ in range(n):
+            out = render_wave(
+                self.scene_pytree, self.frame_params(), pixel_ids,
+                jnp.int32(self.state.spp), cfg,
+            )
+            self._accumulate(out)
+        return self.state
+
+    def _accumulate(self, out):
+        h, w = self.height, self.width
+        rad = out["radiance"].reshape(h, w, 3)
+        fw = out["filter_weight"].reshape(h, w, 1)
+        sample = jnp.concatenate([rad, fw], axis=-1)
+        st = self.state
+        if self.settings.render_mode == RenderMode.REAL_TIME:
+            st.accum = sample
+        else:
+            st.accum = st.accum + sample
+            # Jittered secondary accumulator: first sample always, then
+            # a per-pixel coin flip (RayGenCommon.h:719-727).
+            coin = tbrng.uniform(
+                jnp.arange(h * w), jnp.int32(st.spp), 0,
+                tbrng.STREAM_ACCUM_JITTER,
+            ).reshape(h, w, 1)
+            take = (st.spp == 0) | (coin[..., 0] < 0.5)
+            st.accum_jittered = jnp.where(
+                take[..., None], st.accum_jittered + sample,
+                st.accum_jittered,
+            )
+        wp = jnp.concatenate(
+            [out["world_pos"].reshape(h, w, 3),
+             out["neighbor_dist"].reshape(h, w, 1)], axis=-1
+        )
+        st.world_pos[st.spp % 2] = wp
+        st.spp += 1
+        self._last_aovs = out
+
+    # -- readout ---------------------------------------------------------
+    def resolve_radiance(self) -> jnp.ndarray:
+        """Mean radiance image (H, W, 3) from the weighted accumulator."""
+        a = self.state.accum
+        return a[..., :3] / jnp.maximum(a[..., 3:4], 1e-8)
+
+    def current_image(self, tonemapped: bool = True) -> np.ndarray:
+        from tracerboy_tpu.post.pipeline import post_process
+
+        img = post_process(
+            self.state.accum,
+            self.settings,
+            aovs=getattr(self, "_last_aovs", None),
+            width=self.width,
+            height=self.height,
+        )
+        return np.asarray(img)
+
+    def render(self, spp: int | None = None) -> np.ndarray:
+        """Convenience: trace to the sample target and return the image.
+
+        Honors the sample/time limit gates of the reference
+        (TracerBoy.cpp:2679-2682).
+        """
+        target = spp or self.settings.performance_settings.sample_target
+        limit = self.settings.debug_settings.time_limit_seconds
+        while self.state.spp < target:
+            self.render_sample()
+            if limit > 0 and (time.time() - self._start_time) > limit:
+                break
+        return self.current_image()
+
+    # -- convergence (VarianceUtil.h semantics) --------------------------
+    def convergence_error(self) -> float:
+        """Mean |main - jittered| luminance difference between the two
+        accumulator estimates; the adaptive-sampling convergence metric."""
+        a = self.resolve_radiance()
+        j = self.state.accum_jittered
+        jr = j[..., :3] / jnp.maximum(j[..., 3:4], 1e-8)
+        la = tm._luma(a)
+        lj = tm._luma(jr)
+        return float(jnp.mean(jnp.abs(la - lj)))
+
+    # -- pixel inspection (TracerBoy::SelectPixel / GetMaterial ----------
+    # round trip, D3D12App.cpp:146-152 + 275-314) ------------------------
+    def select_pixel(self, x: int, y: int) -> dict:
+        aovs = getattr(self, "_last_aovs", None)
+        if aovs is None:
+            return {}
+        idx = y * self.width + x
+        return dict(
+            material_id=int(aovs["material"][idx]),
+            depth=float(aovs["depth"][idx]),
+            albedo=np.asarray(aovs["albedo"][idx]),
+            normal=np.asarray(aovs["normal"][idx]),
+            world_pos=np.asarray(aovs["world_pos"][idx]),
+        )
+
+    def get_material(self, material_id: int) -> dict:
+        mats = self.compiled.materials
+        return {k: np.asarray(v[material_id]) for k, v in mats.items()}
+
+    def set_material(self, material_id: int, **fields):
+        """Live material editing: mutate a record and invalidate history
+        (TracerBoy::SetMaterial, TracerBoy.cpp:2592-2604)."""
+        for k, v in fields.items():
+            arr = np.asarray(self.compiled.materials[k])
+            arr[material_id] = v
+            self.compiled.materials[k] = arr
+        self.scene_pytree = self.compiled.as_pytree()
+        self.invalidate_history()

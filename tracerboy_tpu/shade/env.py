@@ -1,0 +1,52 @@
+"""Environment map sampling.
+
+Matches the reference's lat-long lookup (TracerBoy/RayGenCommon.h:21-44):
+the direction is rotated by the environment transform, then mapped with
+uv.x = atan2(y, x) / 2pi (wrapped positive) and uv.y = acos(z) / pi —
+a z-up lat-long parameterization — and scaled by the environment color
+scale (ConfigConstants, SharedShaderStructs.h:77-83).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def sample_environment(direction, env_map, env_transform, env_color_scale):
+    """Evaluate the environment for (N, 3) directions.
+
+    env_map: (H, W, 3); env_transform: (3, 3) world->env rotation;
+    env_color_scale: (3,).
+    """
+    v = direction @ env_transform.T
+    v = v / jnp.maximum(
+        jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12
+    )
+    p = jnp.arctan2(v[..., 1], v[..., 0])
+    p = jnp.where(p > 0, p, p + 2.0 * jnp.pi)
+    u = p / (2.0 * jnp.pi)
+    w = jnp.arccos(jnp.clip(v[..., 2], -1.0, 1.0)) / jnp.pi
+
+    H, W = env_map.shape[0], env_map.shape[1]
+    # Bilinear sample with wrap in u, clamp in v.
+    fx = u * W - 0.5
+    fy = w * H - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+    x0w = jnp.mod(x0, W)
+    x1w = jnp.mod(x0 + 1, W)
+    y0c = jnp.clip(y0, 0, H - 1)
+    y1c = jnp.clip(y0 + 1, 0, H - 1)
+    c00 = env_map[y0c, x0w]
+    c01 = env_map[y0c, x1w]
+    c10 = env_map[y1c, x0w]
+    c11 = env_map[y1c, x1w]
+    col = (
+        c00 * (1 - tx) * (1 - ty)
+        + c01 * tx * (1 - ty)
+        + c10 * (1 - tx) * ty
+        + c11 * tx * ty
+    )
+    return col * env_color_scale

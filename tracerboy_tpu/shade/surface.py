@@ -1,0 +1,211 @@
+"""Surface attribute fetch: textures and materials for a wave of hits.
+
+Rebuilds the reference's GetMaterial/GetTextureData pair
+(TracerBoy/RayGenCommon.h:298-341 GetMaterialInternal with stochastic mix
+resolution and map overrides; TracerBoy/SharedRaytracing.h:67-137 texture
+dispatch with image/checker/scale types, one nesting level, and gamma
+decode; TracerBoy/kernel.glsl:1236-1247 SSS artist-albedo conversion). All
+fetches are gathers across flat ray pools.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from tracerboy_tpu.core import rng as tbrng
+from tracerboy_tpu.core.tonemap import gamma_to_linear
+from tracerboy_tpu.shade.bsdf import artist_albedo_to_absorption
+from tracerboy_tpu.scene.materials import (
+    METALLIC_FLAG,
+    MIX_FLAG,
+    SUBSURFACE_SCATTER_FLAG,
+)
+from tracerboy_tpu.scene.textures import (
+    TEX_IMAGE,
+    TEX_CHECKER,
+    TEX_SCALE,
+    GAMMA_FLAG,
+)
+
+
+def _sample_image(tex_images, tex_sizes, image_idx, u, v):
+    """Bilinear wrap sample from the padded image array."""
+    img_i = jnp.clip(image_idx, 0, tex_images.shape[0] - 1)
+    h = tex_sizes[img_i, 0].astype(jnp.float32)
+    w = tex_sizes[img_i, 1].astype(jnp.float32)
+    uu = jnp.mod(u, 1.0)
+    vv = jnp.mod(v, 1.0)
+    fx = uu * w - 0.5
+    fy = vv * h - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+    wi = tex_sizes[img_i, 1]
+    hi = tex_sizes[img_i, 0]
+    x0w = jnp.mod(x0, wi)
+    x1w = jnp.mod(x0 + 1, wi)
+    y0w = jnp.mod(y0, hi)
+    y1w = jnp.mod(y0 + 1, hi)
+    c00 = tex_images[img_i, y0w, x0w]
+    c01 = tex_images[img_i, y0w, x1w]
+    c10 = tex_images[img_i, y1w, x0w]
+    c11 = tex_images[img_i, y1w, x1w]
+    return (
+        c00 * (1 - tx) * (1 - ty)
+        + c01 * tx * (1 - ty)
+        + c10 * (1 - tx) * ty
+        + c11 * tx * ty
+    )
+
+
+def _eval_texture_flat(recs, tex_images, tex_sizes, tex_id, uv):
+    """Single-level texture evaluation (no scale-nesting)."""
+    rid = jnp.clip(tex_id, 0, recs["ttype"].shape[0] - 1)
+    ttype = recs["ttype"][rid]
+    flags = recs["flags"][rid]
+    u = uv[..., 0] * recs["uscale"][rid]
+    v = uv[..., 1] * recs["vscale"][rid]
+
+    img = _sample_image(tex_images, tex_sizes, recs["image_idx"][rid], u, v)
+    img = jnp.where(
+        (flags & GAMMA_FLAG)[..., None] != 0, gamma_to_linear(img), img
+    )
+
+    # Checker (SharedRaytracing.h checker branch): integer parity of
+    # floor(u*uscale) + floor(v*vscale).
+    parity = (
+        jnp.floor(u).astype(jnp.int32) + jnp.floor(v).astype(jnp.int32)
+    ) % 2
+    checker = jnp.where(
+        (parity == 0)[..., None], recs["color1"][rid], recs["color2"][rid]
+    )
+
+    const = recs["color1"][rid]
+
+    out = jnp.where((ttype == TEX_IMAGE)[..., None], img, const)
+    out = jnp.where((ttype == TEX_CHECKER)[..., None], checker, out)
+    return out
+
+
+def eval_texture(recs, tex_images, tex_sizes, tex_id, uv):
+    """Texture evaluation with one level of scale-texture nesting
+    (the reference allows exactly one recursion, SharedRaytracing.h:99-118).
+    tex_id: (N,) int32 (callers mask invalid ids)."""
+    rid = jnp.clip(tex_id, 0, recs["ttype"].shape[0] - 1)
+    ttype = recs["ttype"][rid]
+    base = _eval_texture_flat(recs, tex_images, tex_sizes, tex_id, uv)
+
+    sub1 = recs["sub1"][rid]
+    sub2 = recs["sub2"][rid]
+    t1 = jnp.where(
+        (sub1 >= 0)[..., None],
+        _eval_texture_flat(recs, tex_images, tex_sizes, sub1, uv),
+        recs["color1"][rid],
+    )
+    t2 = jnp.where(
+        (sub2 >= 0)[..., None],
+        _eval_texture_flat(recs, tex_images, tex_sizes, sub2, uv),
+        recs["color2"][rid],
+    )
+    scale = t1 * t2
+    return jnp.where((ttype == TEX_SCALE)[..., None], scale, base)
+
+
+def fetch_material(
+    scene,
+    mat_id,
+    uv,
+    backside,
+    lane_id,
+    sample_index,
+    bounce,
+    seed=0,
+):
+    """Gather material properties for a wave of hits.
+
+    Returns a dict of per-lane arrays: albedo, emissive, ior, roughness,
+    absorption, scattering, specular_coef, flags. Handles: backside
+    emissive suppression, stochastic mix resolution, albedo/emissive/
+    specular map overrides, and the SSS artist-albedo conversion.
+    """
+    mats = scene["materials"]
+    M = mats["flags"].shape[0]
+    mid = jnp.clip(mat_id, 0, M - 1)
+
+    # Stochastic mix resolution (RayGenCommon.h:308-319): albedo packs
+    # (mat0, mat1, amount); one level, like the reference's non-recursive
+    # second fetch.
+    flags0 = mats["flags"][mid]
+    is_mix = (flags0 & MIX_FLAG) != 0
+    amount = mats["albedo"][mid][..., 2]
+    r = tbrng.uniform(lane_id, sample_index, bounce,
+                      tbrng.STREAM_SPECULAR_SELECT + 32, seed)
+    pick0 = r < amount
+    mix_id = jnp.where(
+        pick0,
+        mats["albedo"][mid][..., 0],
+        mats["albedo"][mid][..., 1],
+    ).astype(jnp.int32)
+    mid = jnp.where(is_mix, jnp.clip(mix_id, 0, M - 1), mid)
+
+    flags = mats["flags"][mid]
+    albedo = mats["albedo"][mid]
+    emissive = mats["emissive"][mid]
+    ior = mats["ior"][mid]
+    roughness = mats["roughness"][mid]
+    absorption = mats["absorption"][mid]
+    scattering = mats["scattering"][mid]
+    specular_coef = mats["specular_coef"][mid]
+
+    # Emissive is one-sided (PBRT convention; RayGenCommon.h:301-306).
+    emissive = jnp.where(backside[..., None], 0.0, emissive)
+
+    recs = scene["tex_records"]
+    imgs = scene["tex_images"]
+    sizes = scene["tex_sizes"]
+
+    albedo_tex = mats["albedo_tex"][mid]
+    albedo = jnp.where(
+        (albedo_tex >= 0)[..., None],
+        eval_texture(recs, imgs, sizes, albedo_tex, uv),
+        albedo,
+    )
+    emissive_tex = mats["emissive_tex"][mid]
+    emissive = jnp.where(
+        ((emissive_tex >= 0) & ~backside)[..., None],
+        eval_texture(recs, imgs, sizes, emissive_tex, uv),
+        emissive,
+    )
+    # Specular map: g = roughness, b > 0.5 marks metallic
+    # (RayGenCommon.h:330-339).
+    spec_tex = mats["specular_tex"][mid]
+    spec_data = eval_texture(recs, imgs, sizes, spec_tex, uv)
+    has_spec = spec_tex >= 0
+    roughness = jnp.where(has_spec, spec_data[..., 1], roughness)
+    flags = jnp.where(
+        has_spec & (spec_data[..., 2] > 0.5), flags | METALLIC_FLAG, flags
+    )
+
+    # SSS artist albedo -> absorption/scattering (kernel.glsl:1236-1247).
+    is_sss = (flags & SUBSURFACE_SCATTER_FLAG) != 0
+    has_albedo = jnp.any(albedo > 0.0, axis=-1)
+    conv = is_sss & has_albedo
+    mfp = 1.0 / jnp.maximum(scattering, 1e-8)
+    conv_abs, conv_scat = artist_albedo_to_absorption(albedo, mfp)
+    absorption = jnp.where(conv[..., None], conv_abs, absorption)
+    scattering = jnp.where(conv[..., None], conv_scat, scattering)
+    albedo = jnp.where(conv[..., None], 0.0, albedo)
+
+    return dict(
+        albedo=albedo,
+        emissive=emissive,
+        ior=ior,
+        roughness=roughness,
+        absorption=absorption,
+        scattering=scattering,
+        specular_coef=specular_coef,
+        flags=flags,
+        normal_tex=mats["normal_tex"][mid],
+        alpha_tex=mats["alpha_tex"][mid],
+    )

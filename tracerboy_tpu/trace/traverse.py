@@ -49,6 +49,7 @@ def traverse_wide(
     leaf_size: int,
     max_steps: int = 100_000,
     any_hit: bool = False,
+    tri_mask=None,
 ):
     """Closest-hit (or any-hit) traversal over the 8-wide BVH.
 
@@ -130,6 +131,11 @@ def traverse_wide(
                 orig[:, None, :], direc[:, None, :], a, b, c,
                 t_max=t_best[:, None],
             )
+            if tri_mask is not None:
+                # Per-triangle participation mask (e.g. shadow rays skip
+                # light geometry, matching the reference's IsLight pass-
+                # through in shadow feelers, kernel.glsl:1474-1477).
+                hit = hit & tri_mask[tri_ids]
             t = jnp.where(leaf_mask[:, None] & hit, t, BIG)
             k_best = jnp.argmin(t, axis=1)
             t_k = t[rows, k_best]
