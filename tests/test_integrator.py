@@ -1,0 +1,171 @@
+"""Integrator correctness tests: exact analytic cases + consistency.
+
+The reference ships no integrator tests; these are the energy-conservation
+and estimator-consistency checks SURVEY.md section 4 prescribes for the
+rebuild.
+"""
+
+import textwrap
+
+import numpy as np
+import pytest
+
+from tracerboy_tpu import Renderer
+from tracerboy_tpu.utils.config import default_output_settings
+
+
+def write_scene(tmp_path, body, name="scene.pbrt"):
+    p = tmp_path / name
+    p.write_text(textwrap.dedent(body))
+    return str(p)
+
+
+PLANE_UNDER_SKY = """
+    LookAt 0 5 0  0 0 0  0 0 1
+    Camera "perspective" "float fov" [ 30 ]
+    Film "image" "integer xresolution" [ 32 ] "integer yresolution" [ 32 ]
+    Integrator "path" "integer maxdepth" [ 4 ]
+    WorldBegin
+    LightSource "infinite" "rgb L" [ 1 1 1 ]
+    Material "matte" "rgb Kd" [ 0.3 0.5 0.7 ]
+    Shape "trianglemesh" "integer indices" [ 0 1 2 0 2 3 ]
+      "point P" [ -50 0 -50  50 0 -50  50 0 50  -50 0 50 ]
+    WorldEnd
+"""
+
+
+class TestAnalytic:
+    def test_lambert_under_uniform_sky_equals_albedo(self, tmp_path):
+        """A lambertian plane under a uniform unit sky reflects exactly its
+        albedo: L_out = a/pi * integral(cos) = a. With cosine sampling the
+        estimator is zero-variance, so even 4 spp must match closely."""
+        path = write_scene(tmp_path, PLANE_UNDER_SKY)
+        r = Renderer(path)
+        r.render_sample(4)
+        img = np.asarray(r.resolve_radiance())
+        center = img[8:24, 8:24]  # stay away from plane edges
+        np.testing.assert_allclose(
+            center.mean(axis=(0, 1)), [0.3, 0.5, 0.7], atol=0.01
+        )
+
+    def test_camera_sees_light_radiance_exactly(self, tmp_path):
+        """Pixels covering an area light read back its radiance L."""
+        path = write_scene(tmp_path, """
+            LookAt 0 0 -3  0 0 0  0 1 0
+            Camera "perspective" "float fov" [ 40 ]
+            Film "image" "integer xresolution" [ 16 ] "integer yresolution" [ 16 ]
+            WorldBegin
+            AttributeBegin
+              AreaLightSource "diffuse" "rgb L" [ 2 3 4 ]
+              Shape "trianglemesh" "integer indices" [ 0 1 2 0 2 3 ]
+                "point P" [ -5 -5 0  5 -5 0  5 5 0  -5 5 0 ]
+                "normal N" [ 0 0 -1  0 0 -1  0 0 -1  0 0 -1 ]
+            AttributeEnd
+            WorldEnd
+        """)
+        r = Renderer(path)
+        r.render_sample(2)
+        img = np.asarray(r.resolve_radiance())
+        np.testing.assert_allclose(
+            img[4:12, 4:12].mean(axis=(0, 1)), [2.0, 3.0, 4.0], rtol=1e-3
+        )
+
+    def test_black_scene_is_black(self, tmp_path):
+        path = write_scene(tmp_path, """
+            LookAt 0 0 -3  0 0 0  0 1 0
+            Camera "perspective" "float fov" [ 40 ]
+            Film "image" "integer xresolution" [ 8 ] "integer yresolution" [ 8 ]
+            WorldBegin
+            Material "matte" "rgb Kd" [ 0.5 0.5 0.5 ]
+            Shape "trianglemesh" "integer indices" [ 0 1 2 ]
+              "point P" [ -5 -5 0  5 -5 0  0 5 0 ]
+            WorldEnd
+        """)
+        r = Renderer(path)
+        r.render_sample(2)
+        assert float(np.abs(np.asarray(r.resolve_radiance())).max()) == 0.0
+
+
+class TestConsistency:
+    def test_nee_on_off_agree_on_cornell(self, tmp_path):
+        """NEE and BSDF-only sampling are both unbiased: their converged
+        means must agree. Coarse 16x12 render, block-averaged."""
+        import tests.conftest as c
+
+        path = c.require_scene("cornell-box/scene.pbrt")
+        imgs = {}
+        for nee in (True, False):
+            s = default_output_settings()
+            s = s.replace(
+                performance_settings=s.performance_settings.__class__(
+                    max_bounces=4,
+                    enable_next_event_estimation=nee,
+                    use_blue_noise=False,
+                ),
+            )
+            r = Renderer(path, settings=s, film_size=(16, 12))
+            r.render_sample(600)
+            imgs[nee] = np.asarray(r.resolve_radiance())
+        a, b = imgs[True], imgs[False]
+        # Compare overall mean energy; light pixels dominate variance in
+        # the BSDF-only image, so exclude the brightest 5%.
+        mask = a.mean(-1) < np.quantile(a.mean(-1), 0.95)
+        ma, mb = a[mask].mean(), b[mask].mean()
+        assert abs(ma - mb) / ma < 0.12, (ma, mb)
+
+    def test_convergence_metric_decreases(self, tmp_path):
+        path = write_scene(tmp_path, PLANE_UNDER_SKY)
+        r = Renderer(path)
+        r.render_sample(2)
+        e1 = r.convergence_error()
+        r.render_sample(30)
+        e2 = r.convergence_error()
+        assert e2 <= e1 + 1e-3
+
+
+class TestAOVs:
+    def test_aov_outputs(self, tmp_path):
+        from tracerboy_tpu.utils.config import OutputType
+
+        path = write_scene(tmp_path, PLANE_UNDER_SKY)
+        r = Renderer(path)
+        r.render_sample(1)
+        for ot in (OutputType.LIT, OutputType.ALBEDO, OutputType.NORMAL,
+                   OutputType.DEPTH, OutputType.LUMINANCE):
+            r.settings = r.settings.replace(output_type=ot)
+            img = r.current_image()
+            assert img.shape == (32, 32, 3), ot
+            assert np.isfinite(img).all(), ot
+
+    def test_albedo_aov_matches_material(self, tmp_path):
+        from tracerboy_tpu.utils.config import OutputType
+
+        path = write_scene(tmp_path, PLANE_UNDER_SKY)
+        r = Renderer(path)
+        r.render_sample(1)
+        r.settings = r.settings.replace(output_type=OutputType.ALBEDO)
+        img = r.current_image()
+        np.testing.assert_allclose(img[16, 16], [0.3, 0.5, 0.7], atol=1e-5)
+
+    def test_pixel_inspection(self, tmp_path):
+        path = write_scene(tmp_path, PLANE_UNDER_SKY)
+        r = Renderer(path)
+        r.render_sample(1)
+        info = r.select_pixel(16, 16)
+        assert info["material_id"] >= 0
+        assert info["depth"] > 0
+        mat = r.get_material(info["material_id"])
+        np.testing.assert_allclose(mat["albedo"], [0.3, 0.5, 0.7], atol=1e-6)
+
+    def test_material_edit_roundtrip(self, tmp_path):
+        path = write_scene(tmp_path, PLANE_UNDER_SKY)
+        r = Renderer(path)
+        r.render_sample(1)
+        info = r.select_pixel(16, 16)
+        r.set_material(info["material_id"], albedo=[0.9, 0.1, 0.1])
+        assert r.state.spp == 0  # history invalidated
+        r.render_sample(4)
+        img = np.asarray(r.resolve_radiance())
+        np.testing.assert_allclose(
+            img[8:24, 8:24].mean(axis=(0, 1)), [0.9, 0.1, 0.1], atol=0.01
+        )

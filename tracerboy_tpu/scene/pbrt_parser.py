@@ -219,6 +219,8 @@ def _rotate(angle_deg, axis):
 
 
 def _look_at(eye, look, up):
+    """pbrt LookAt: composes a *world-to-camera* transform into the CTM
+    (the camera frame built here is inverted before returning)."""
     eye, look, up = (np.asarray(v, np.float64) for v in (eye, look, up))
     d = look - eye
     d = d / np.linalg.norm(d)
@@ -227,7 +229,7 @@ def _look_at(eye, look, up):
     new_up = np.cross(d, right)
     m = np.eye(4)
     m[:3, 0], m[:3, 1], m[:3, 2], m[:3, 3] = right, new_up, d, eye
-    return m
+    return np.linalg.inv(m)
 
 
 @dataclass
