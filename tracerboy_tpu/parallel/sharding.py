@@ -1,0 +1,109 @@
+"""Multi-chip scaling: pixel-tile and sample sharding over a device mesh.
+
+The reference is a single-GPU renderer (SURVEY.md section 2.8); the TPU
+rebuild scales across chips with jax.sharding instead of translating any
+queue/fence machinery:
+
+- **Tile sharding** (primary axis): the flat pixel-id pool is sharded over
+  a 1-D "tiles" mesh; the scene is replicated; every per-ray array in the
+  wavefront inherits the pixel sharding, so the whole render step runs
+  SPMD with zero communication. The final image gather happens only at
+  host readout — the analog of the reference's single CopyResource to the
+  backbuffer per frame.
+- **Sample (spp) sharding**: every chip traces the full image with a
+  different sample index and accumulators merge with a `psum` over ICI —
+  the direct analog of data-parallel gradient accumulation.
+- Stats (ray counts, live lanes) reduce with the same psum.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tracerboy_tpu.trace.wavefront import WaveConfig, render_wave
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    import numpy as np
+
+    return Mesh(np.asarray(devices), axis_names=("tiles",))
+
+
+def shard_pixels(mesh: Mesh, width: int, height: int):
+    """Flat pixel ids laid out so each device owns contiguous rows."""
+    n = width * height
+    ndev = mesh.devices.size
+    pad = (-n) % ndev
+    ids = jnp.arange(n + pad, dtype=jnp.int32)
+    sharding = NamedSharding(mesh, P("tiles"))
+    return jax.device_put(ids, sharding), pad
+
+
+def render_wave_tiled(mesh, scene, params, pixel_ids, sample_index, cfg):
+    """Tile-sharded render step: pixel pool split over the mesh, scene
+    replicated; no collectives in the hot path."""
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P("tiles"))
+
+    fn = jax.jit(
+        partial(render_wave, cfg=cfg),
+        in_shardings=(replicated, replicated, sharded, replicated),
+        out_shardings=None,  # propagate: per-ray outputs stay tile-sharded
+    )
+    return fn(scene, params, pixel_ids, sample_index)
+
+
+def render_spp_sharded(mesh, scene, params, pixel_ids, base_sample, cfg,
+                       samples_per_device: int = 1):
+    """Sample-sharded render step with psum-merged accumulators.
+
+    Every device traces the full pixel pool at sample indices
+    base + dev * samples_per_device + k; radiance/weight sums merge over
+    ICI with psum inside shard_map. Returns the replicated accumulated
+    (radiance_sum, weight_sum, rays_traced).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    ndev = mesh.devices.size
+    dev_ids = jnp.arange(ndev, dtype=jnp.int32)
+
+    def per_device(dev_id, scene_l, params_l, pixel_ids_l):
+        dev = dev_id[0]
+        # Tie carries to the device id so their device-varying type is
+        # stable across fori_loop iterations.
+        vz = dev.astype(jnp.float32) * 0.0
+        rad = jnp.zeros((pixel_ids_l.shape[0], 3), jnp.float32) + vz
+        fw = jnp.zeros((pixel_ids_l.shape[0],), jnp.float32) + vz
+        rays = vz
+
+        def body(k, carry):
+            rad, fw, rays = carry
+            s_idx = base_sample + dev * samples_per_device + k
+            out = render_wave(scene_l, params_l, pixel_ids_l, s_idx, cfg)
+            return (rad + out["radiance"], fw + out["filter_weight"],
+                    rays + out["rays_traced"])
+
+        rad, fw, rays = jax.lax.fori_loop(
+            0, samples_per_device, body, (rad, fw, rays)
+        )
+        # Merge accumulators across the mesh over ICI.
+        rad = jax.lax.psum(rad, "tiles")
+        fw = jax.lax.psum(fw, "tiles")
+        rays = jax.lax.psum(rays, "tiles")
+        return rad, fw, rays
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P("tiles"), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+    )
+    return jax.jit(fn)(dev_ids, scene, params, pixel_ids)

@@ -1,0 +1,120 @@
+"""RealTime-mode frame pipeline: TAA -> a-trous -> albedo composite -> TAA.
+
+Reassembles the reference's real-time denoising chain
+(TracerBoy.cpp:3062-3160): the 1-spp demodulated indirect lighting is
+temporally accumulated (with moments), wavelet-denoised N times, then
+recombined with albedo (CompositeAlbedoCS.hlsl:17-26: albedo * indirect *
+diffuseContribution + indirect * specularContribution + emissive) and a
+final TAA pass stabilizes the composite. Also hosts the frame-rate
+governor (TracerBoy.cpp:2691-2727).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from tracerboy_tpu.post.denoise import denoise
+from tracerboy_tpu.post.temporal import temporal_accumulate
+
+
+def composite_albedo(albedo, diffuse_contribution, indirect, emissive):
+    """CompositeAlbedoCS.hlsl:17-26."""
+    spec = 1.0 - diffuse_contribution
+    return (
+        albedo * indirect * diffuse_contribution[..., None]
+        + indirect * spec[..., None]
+        + emissive
+    )
+
+
+def realtime_frame(
+    raw_indirect,      # (H, W, 3) this frame's demodulated lighting
+    aovs,              # dict: albedo, normal, world_pos+neighbor_dist,
+                       #       emissive, diffuse_contrib (all (H,W,...))
+    history,           # dict with keys: indirect, moments, final,
+                       #       prev_world_pos (None on first frame)
+    cam_prev,
+    lens_height,
+    denoiser_settings,
+    history_weight: float = 0.95,
+):
+    """One RealTime frame. Returns (display_color, new_history)."""
+    H, W = raw_indirect.shape[:2]
+    zeros3 = jnp.zeros((H, W, 3), jnp.float32)
+    first = history.get("indirect") is None
+    hist_ind = history.get("indirect") if not first else zeros3
+    hist_mom = history.get("moments") if not first else zeros3
+    hist_fin = history.get("final") if not first else zeros3
+    prev_wp = (
+        history.get("prev_world_pos")
+        if history.get("prev_world_pos") is not None
+        else aovs["world_pos"]
+    )
+
+    # TAA #1 on indirect lighting, producing variance in alpha.
+    taa_ind, new_moments = temporal_accumulate(
+        raw_indirect, aovs["world_pos"], aovs["normal"], prev_wp,
+        hist_ind, hist_mom, cam_prev, lens_height,
+        history_weight=history_weight, ignore_history=first,
+        output_moments=True,
+    )
+
+    # Wavelet denoise the indirect estimate.
+    if denoiser_settings.enabled:
+        den = denoise(
+            taa_ind, raw_indirect, aovs["normal"], aovs["world_pos"],
+            iterations=denoiser_settings.wavelet_iterations,
+            luma_weight_mult=denoiser_settings.luminance_weight,
+            normal_exp=denoiser_settings.normal_weight_exponent,
+            position_weight_mult=(
+                denoiser_settings.intersection_position_weight_exponent
+            ),
+        )
+        indirect = den[..., :3]
+    else:
+        indirect = taa_ind[..., :3]
+
+    # Recombine with albedo + emissive.
+    final = composite_albedo(
+        aovs["albedo"], aovs["diffuse_contrib"], indirect, aovs["emissive"]
+    )
+
+    # TAA #2 on the final composite (no moments).
+    taa_fin, _ = temporal_accumulate(
+        final, aovs["world_pos"], aovs["normal"], prev_wp,
+        hist_fin, jnp.zeros((H, W, 3), jnp.float32), cam_prev, lens_height,
+        history_weight=history_weight, ignore_history=first,
+        output_moments=False,
+    )
+    display = taa_fin[..., :3]
+
+    new_history = dict(
+        indirect=taa_ind[..., :3],
+        moments=new_moments,
+        final=display,
+        prev_world_pos=aovs["world_pos"],
+    )
+    return display, new_history
+
+
+class FrameRateGovernor:
+    """Adaptive-sampling throttle (TracerBoy.cpp:2691-2727): every 5
+    frames, nudge the convergence-percent pad up/down to hit the target
+    frame rate."""
+
+    def __init__(self, target_fps: float = 30.0, pad: float = 0.05):
+        self.target_fps = target_fps
+        self.pad = pad
+        self._frame_times = []
+
+    def update(self, frame_seconds: float) -> float:
+        self._frame_times.append(frame_seconds)
+        if len(self._frame_times) >= 5:
+            avg = sum(self._frame_times) / len(self._frame_times)
+            fps = 1.0 / max(avg, 1e-6)
+            if fps < self.target_fps * 0.95:
+                self.pad = min(self.pad + 0.05, 0.95)
+            elif fps > self.target_fps * 1.1:
+                self.pad = max(self.pad - 0.01, 0.0)
+            self._frame_times.clear()
+        return self.pad

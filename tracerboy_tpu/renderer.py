@@ -199,6 +199,54 @@ class Renderer:
         st.spp += 1
         self._last_aovs = out
 
+    # -- RealTime mode (1 spp + TAA + denoise, TracerBoy.cpp:3062-3160) --
+    def render_realtime_frame(self) -> np.ndarray:
+        """One RealTime frame: 1-spp demodulated trace -> TAA -> a-trous
+        -> albedo composite -> TAA -> display transform."""
+        from tracerboy_tpu.core.rng import halton23
+        from tracerboy_tpu.post.pipeline import display_transform
+        from tracerboy_tpu.post.realtime import realtime_frame
+
+        h, w = self.height, self.width
+        cfg = self.wave_config()
+        frame = self.state.spp
+        # Fixed per-frame Halton jitter (the reference's FixedPixelOffset
+        # path, kernel.glsl:1834-1838).
+        offset = halton23(jnp.int32(frame))
+        pixel_ids = jnp.arange(w * h, dtype=jnp.int32)
+        out = render_wave(
+            self.scene_pytree, self.frame_params(fixed_offset=offset),
+            pixel_ids, jnp.int32(frame), cfg,
+        )
+        self._accumulate(out)
+        raw = out["radiance"].reshape(h, w, 3)
+        aovs = dict(
+            albedo=out["albedo"].reshape(h, w, 3),
+            normal=out["normal"].reshape(h, w, 3),
+            world_pos=jnp.concatenate(
+                [out["world_pos"].reshape(h, w, 3),
+                 out["neighbor_dist"].reshape(h, w, 1)], axis=-1,
+            ),
+            emissive=out["emissive"].reshape(h, w, 3),
+            diffuse_contrib=out["diffuse_contrib"].reshape(h, w),
+        )
+        if not hasattr(self, "_rt_history"):
+            self._rt_history = {}
+        cam_prev = getattr(self, "_cam_prev", None) or self.scene_pytree["camera"]
+        display, self._rt_history = realtime_frame(
+            raw, aovs, self._rt_history, cam_prev,
+            self.compiled.camera.lens_height, self.settings.denoiser_settings,
+        )
+        self._cam_prev = jax.tree_util.tree_map(
+            lambda x: x, self.scene_pytree["camera"]
+        )
+        ps = self.settings.post_settings
+        img = display_transform(
+            display, ps.exposure_multiplier, int(ps.tonemap_type),
+            ps.enable_gamma_correction, ps.enable_auto_exposure,
+        )
+        return np.asarray(img)
+
     # -- readout ---------------------------------------------------------
     def resolve_radiance(self) -> jnp.ndarray:
         """Mean radiance image (H, W, 3) from the weighted accumulator."""

@@ -67,14 +67,20 @@ def traverse_wide(
     )
     inv_dir = 1.0 / safe_dir
 
+    # `vz` is a per-lane zero derived from a (possibly device-varying)
+    # input: loop carries are tied to it so their sharding type stays
+    # consistent across iterations under shard_map (vma tracking).
+    vz = (orig[:, 0] + direc[:, 0] + jnp.asarray(t_max, jnp.float32)) * 0.0
+    vz = jnp.broadcast_to(vz, (N,))
+    vzi = vz.astype(jnp.int32)
     state = dict(
-        stack=jnp.zeros((N, STACK_DEPTH), jnp.int32),  # root at slot 0
-        sp=jnp.ones((N,), jnp.int32),
-        t_best=jnp.asarray(t_max, jnp.float32) * jnp.ones((N,), jnp.float32),
-        tri_best=jnp.full((N,), -1, jnp.int32),
-        u_best=jnp.zeros((N,), jnp.float32),
-        v_best=jnp.zeros((N,), jnp.float32),
-        occluded=jnp.zeros((N,), jnp.bool_),
+        stack=jnp.zeros((N, STACK_DEPTH), jnp.int32) + vzi[:, None],
+        sp=jnp.ones((N,), jnp.int32) + vzi,  # root pre-pushed at slot 0
+        t_best=jnp.asarray(t_max, jnp.float32) + vz,
+        tri_best=jnp.full((N,), -1, jnp.int32) + vzi,
+        u_best=vz,
+        v_best=vz,
+        occluded=vzi > 0,
         step=jnp.int32(0),
     )
 

@@ -145,27 +145,38 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         filter_width=cfg.filter_width,
     )
 
-    zero3 = jnp.zeros((N, 3), jnp.float32)
+    # Per-lane zero tied to the (possibly device-sharded) pixel pool so
+    # every loop carry keeps a consistent sharding type under shard_map.
+    vz = (
+        pixel_ids.astype(jnp.float32)
+        + jnp.asarray(sample_index, jnp.float32)
+    ) * 0.0
+    zero3 = jnp.zeros((N, 3), jnp.float32) + vz[:, None]
     state = dict(
         origin=origin,
         direction=direction,
-        throughput=jnp.ones((N, 3), jnp.float32),
+        throughput=jnp.ones((N, 3), jnp.float32) + vz[:, None],
         radiance=zero3,
-        alive=jnp.ones((N,), jnp.bool_),
-        prev_perfect_specular=jnp.zeros((N,), jnp.bool_),
-        inside=jnp.zeros((N,), jnp.bool_),
+        alive=vz == 0.0,
+        prev_perfect_specular=vz != 0.0,
+        inside=vz != 0.0,
         med_absorption=zero3,
         med_scattering=zero3,
-        med_ior=jnp.ones((N,), jnp.float32),
+        med_ior=jnp.ones((N,), jnp.float32) + vz,
         # AOVs (written on the first hit)
         aov_albedo=zero3,
         aov_normal=zero3,
         aov_world_pos=zero3,
         aov_emissive=zero3,
-        aov_depth=jnp.zeros((N,), jnp.float32),
-        aov_material=jnp.full((N,), -1, jnp.int32),
-        aov_diffuse_contrib=jnp.ones((N,), jnp.float32),
-        aov_neighbor_dist=jnp.zeros((N,), jnp.float32),
+        aov_depth=vz,
+        aov_material=jnp.full((N,), -1, jnp.int32) + vz.astype(jnp.int32),
+        aov_diffuse_contrib=jnp.ones((N,), jnp.float32) + vz,
+        aov_neighbor_dist=vz,
+        # Stats: total rays traced (primary+bounce+shadow) and live-lane
+        # counts — the analog of the reference's wave/pixel atomics
+        # (RaytraceCS.hlsl:59-65).
+        rays_traced=jnp.sum(vz),
+        live_end=jnp.sum(vz),
     )
 
     def bounce(i, s):
@@ -188,6 +199,8 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
 
         # Early-out for negligible throughput (kernel.glsl:1318-1325).
         alive = alive & jnp.any(s["throughput"] >= EPSILON, axis=-1)
+
+        s["rays_traced"] = s["rays_traced"] + jnp.sum(alive.astype(jnp.float32))
 
         # --- traversal --------------------------------------------------
         t_max = jnp.where(alive, BIG, 0.0)
@@ -360,6 +373,9 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
                 leaf_size=cfg.leaf_size, any_hit=True,
                 tri_mask=scene.get("tri_shadow_opaque"),
             )
+            s["rays_traced"] = s["rays_traced"] + jnp.sum(
+                do_nee.astype(jnp.float32)
+            )
             light_mult = (
                 ls["attenuation"]
                 * bsdf.diffuse_brdf(ls["direction"], detail_normal)
@@ -508,6 +524,7 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
             shading, perfect_spec, s["prev_perfect_specular"]
         )
         s["alive"] = alive & ~died_on_light & ~med_escaped
+        s["live_end"] = jnp.sum(s["alive"].astype(jnp.float32))
         return s
 
     state = jax.lax.fori_loop(0, cfg.max_bounces, bounce, state)
@@ -529,6 +546,8 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         material=state["aov_material"],
         diffuse_contrib=state["aov_diffuse_contrib"],
         neighbor_dist=state["aov_neighbor_dist"],
+        rays_traced=state["rays_traced"],
+        live_end=state["live_end"],
     )
 
 
