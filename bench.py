@@ -6,14 +6,26 @@ cornell-box 512x512 path-tracing config.
 """
 
 import json
+import os
 import sys
 import time
 from functools import partial
+
+# Persistent compilation cache: the first TPU compile of the render
+# program is slow over the remote-compile tunnel; cache it in-repo so
+# subsequent bench runs skip it.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from tracerboy_tpu.scene.compile import load_scene
     from tracerboy_tpu.trace.wavefront import WaveConfig, render_wave

@@ -1,0 +1,218 @@
+"""Command-line renderer: the headless analog of the reference app shell.
+
+Replaces WinMain + D3D12App's interactive loop (WinMain/WinMain.cpp:193-247,
+TracerBoy/D3D12App.cpp) with a CLI: progressive render to a sample/time
+target with live progress reporting (the loading-screen/status analog,
+UIController.cpp:124-140), PNG/EXR/HDR output (the 'P' capture key,
+D3D12App.cpp:341-364), optional AOV dumps, denoiser selection, and
+checkpoint/resume of the accumulation state.
+
+Usage:
+  python -m tracerboy_tpu.app.cli SCENE.pbrt --spp 64 --out out.png
+  python -m tracerboy_tpu.app.cli SCENE.pbrt --mode realtime --frames 30
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="tracerboy-tpu", description=__doc__)
+    p.add_argument("scene", help=".pbrt scene file (or .npz compiled cache)")
+    p.add_argument("--out", default="out.png", help="output image path")
+    p.add_argument("--spp", type=int, default=None,
+                   help="sample target (default: settings/sampler)")
+    p.add_argument("--size", default=None, metavar="WxH",
+                   help="override film resolution, e.g. 512x512")
+    p.add_argument("--mode", choices=["unbiased", "realtime"],
+                   default="unbiased")
+    p.add_argument("--frames", type=int, default=30,
+                   help="frames to run in realtime mode")
+    p.add_argument("--max-bounces", type=int, default=None)
+    p.add_argument("--tonemap", default=None,
+                   choices=["reinhard", "aces", "clamp", "uncharted",
+                            "pbr_neutral", "agx", "agx_punchy", "gt"])
+    p.add_argument("--no-nee", action="store_true")
+    p.add_argument("--ris", action="store_true",
+                   help="enable reservoir (RIS) light sampling")
+    p.add_argument("--no-auto-exposure", action="store_true")
+    p.add_argument("--exposure", type=float, default=1.0)
+    p.add_argument("--firefly-clamp", type=float, default=0.0)
+    p.add_argument("--dof-focus", type=float, default=0.0)
+    p.add_argument("--dof-aperture", type=float, default=0.01)
+    p.add_argument("--time-limit", type=float, default=-1.0,
+                   help="stop after N seconds")
+    p.add_argument("--aov", default=None,
+                   choices=["albedo", "normal", "depth", "luminance"],
+                   help="write this AOV instead of the lit image")
+    p.add_argument("--denoiser", default="none",
+                   choices=["none", "oidn", "oidn-ldr"],
+                   help="ML denoise the final image")
+    p.add_argument("--upscale", default=None, choices=["fsr", "superres"],
+                   help="2x upscale the output")
+    p.add_argument("--hdr-out", default=None,
+                   help="also write linear radiance (.exr/.hdr/.pfm)")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint file to save/resume accumulation")
+    p.add_argument("--checkpoint-every", type=int, default=64,
+                   help="checkpoint every N samples")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--quiet", "-q", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from tracerboy_tpu import Renderer
+    from tracerboy_tpu.core import image_io
+    from tracerboy_tpu.utils.config import (
+        OutputType,
+        RenderMode,
+        TonemapType,
+        default_output_settings,
+    )
+
+    film = None
+    if args.size:
+        w, h = args.size.lower().split("x")
+        film = (int(w), int(h))
+
+    s = default_output_settings()
+    perf = s.performance_settings
+    import dataclasses
+
+    perf = dataclasses.replace(
+        perf,
+        enable_next_event_estimation=not args.no_nee,
+        enable_sampling_importance_resampling=args.ris,
+        **({"max_bounces": args.max_bounces} if args.max_bounces else {}),
+    )
+    post = dataclasses.replace(
+        s.post_settings,
+        enable_auto_exposure=not args.no_auto_exposure,
+        exposure_multiplier=args.exposure,
+        **(
+            {"tonemap_type": TonemapType[args.tonemap.upper()
+                                         .replace("PBR_NEUTRAL",
+                                                  "KHRONOS_PBR_NEUTRAL")]}
+            if args.tonemap else {}
+        ),
+    )
+    s = s.replace(
+        performance_settings=perf,
+        post_settings=post,
+        render_mode=(RenderMode.REAL_TIME if args.mode == "realtime"
+                     else RenderMode.UNBIASED),
+        fireflies_clamp=args.firefly_clamp,
+        debug_settings=dataclasses.replace(
+            s.debug_settings, time_limit_seconds=args.time_limit
+        ),
+    )
+    if args.aov:
+        s = s.replace(output_type=OutputType[args.aov.upper()])
+    if args.dof_focus > 0:
+        s = s.replace(camera_settings=dataclasses.replace(
+            s.camera_settings,
+            dof_focus_distance=args.dof_focus,
+            dof_aperture_width=args.dof_aperture,
+        ))
+
+    t0 = time.time()
+    log = (lambda *a: None) if args.quiet else (
+        lambda *a: print(f"[{time.time()-t0:7.1f}s]", *a, flush=True)
+    )
+
+    log(f"loading {args.scene} ...")
+    r = Renderer(args.scene, settings=s, film_size=film)
+    log(f"scene ready: {r.compiled.num_tris} tris, "
+        f"{r.compiled.num_lights} lights, {r.width}x{r.height}, "
+        f"{len(r.compiled.materials['flags'])} materials")
+
+    from tracerboy_tpu.utils.checkpoint import (
+        load_render_checkpoint,
+        save_render_checkpoint,
+    )
+
+    if args.checkpoint:
+        if load_render_checkpoint(args.checkpoint, r):
+            log(f"resumed from checkpoint at {r.state.spp} spp")
+
+    if args.mode == "realtime":
+        for f in range(args.frames):
+            img = r.render_realtime_frame()
+            if f % 10 == 0:
+                log(f"frame {f}")
+    else:
+        target = args.spp or r.compiled.sampler_spp
+        batch = 4
+        while r.state.spp < target:
+            n = min(batch, target - r.state.spp)
+            r.render_sample(n)
+            log(f"{r.state.spp}/{target} spp  "
+                f"convergence={r.convergence_error():.5f}")
+            if args.checkpoint and r.state.spp % args.checkpoint_every == 0:
+                save_render_checkpoint(args.checkpoint, r)
+            if (args.time_limit > 0
+                    and time.time() - t0 > args.time_limit):
+                log("time limit reached")
+                break
+        img = r.current_image()
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    if args.denoiser.startswith("oidn"):
+        from tracerboy_tpu.ml.oidn import load_oidn, denoise_image
+
+        tza = ("/root/reference/TracerBoy/ML/rt_ldr.tza"
+               if args.denoiser == "oidn-ldr"
+               else "/root/reference/TracerBoy/ML/rt_ldr_alb_nrm.tza")
+        model, variables = load_oidn(tza)
+        aovs = r._last_aovs
+        h, w = r.height, r.width
+        img = np.asarray(
+            denoise_image(
+                model, variables, jnp.asarray(img),
+                jnp.asarray(aovs["albedo"].reshape(h, w, 3)),
+                jnp.asarray(aovs["normal"].reshape(h, w, 3)),
+            )
+        )
+        log("denoised (OIDN UNet)")
+
+    if args.upscale == "fsr":
+        from tracerboy_tpu.ml.fsr import fsr_upscale
+
+        img = np.asarray(fsr_upscale(jnp.asarray(img)))
+        log("upscaled 2x (FSR-style EASU+RCAS)")
+    elif args.upscale == "superres":
+        from tracerboy_tpu.ml.superres import load_superres, upscale2x
+
+        p = load_superres("/root/reference/TracerBoy/ML/weights.bin")
+        img = np.asarray(upscale2x(p, jnp.asarray(img)))
+        log("upscaled 2x (super-resolution CNN)")
+
+    image_io.write_png(args.out, img)
+    log(f"wrote {args.out}")
+
+    if args.hdr_out:
+        rad = np.asarray(r.resolve_radiance())
+        ext = args.hdr_out.rsplit(".", 1)[-1].lower()
+        if ext == "exr":
+            image_io.write_exr(args.hdr_out, rad)
+        elif ext == "pfm":
+            image_io.write_pfm(args.hdr_out, rad)
+        else:
+            image_io.write_hdr(args.hdr_out, rad)
+        log(f"wrote {args.hdr_out}")
+
+    if args.checkpoint and args.mode != "realtime":
+        save_render_checkpoint(args.checkpoint, r)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
