@@ -1,0 +1,208 @@
+"""Post-processing tests: exposure, TAA, denoiser, realtime composite."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tracerboy_tpu.post import pipeline
+from tracerboy_tpu.post.denoise import denoise
+from tracerboy_tpu.post.temporal import temporal_accumulate, generate_motion_vectors
+from tracerboy_tpu.post.realtime import composite_albedo, FrameRateGovernor
+
+
+def make_cam(pos=(0, 0, 0), look=(0, 0, -1)):
+    return dict(
+        position=jnp.asarray(pos, jnp.float32),
+        look_at=jnp.asarray(look, jnp.float32),
+        up=jnp.asarray([0.0, 1.0, 0.0]),
+        right=jnp.asarray([1.0, 0.0, 0.0]),
+        lens_height=jnp.float32(2.0),
+        focal_distance=jnp.float32(1.0),
+    )
+
+
+class TestExposure:
+    def test_auto_exposure_scales_to_gray(self):
+        img = jnp.full((32, 32, 3), 0.36)
+        scale = pipeline.auto_exposure_scale(img)
+        # avg luminance 0.36 -> scale approx 0.18/0.36 = 0.5
+        assert float(scale) == pytest.approx(0.5, rel=0.1)
+
+    def test_histogram_ignores_black(self):
+        img = jnp.zeros((16, 16, 3)).at[0, 0].set(1.0)
+        hist = pipeline.luminance_histogram(img)
+        assert int(hist[0]) == 255  # black pixels in bin 0
+        avg = pipeline.average_luminance(hist)
+        assert float(avg) == pytest.approx(1.0, rel=0.15)
+
+    def test_resolve_divides_by_weight(self):
+        accum = jnp.concatenate(
+            [jnp.full((4, 4, 3), 8.0), jnp.full((4, 4, 1), 4.0)], axis=-1
+        )
+        out = pipeline.resolve_accumulator(accum)
+        np.testing.assert_allclose(np.asarray(out), 2.0)
+
+
+class TestTAA:
+    def test_static_camera_blends_history(self):
+        H = W = 16
+        cam = make_cam()
+        world = jnp.concatenate(
+            [jnp.full((H, W, 3), 1.0) * jnp.array([0, 0, -5.0]),
+             jnp.full((H, W, 1), 0.5)], axis=-1,
+        )
+        normals = jnp.tile(jnp.array([0.0, 0.0, 1.0]), (H, W, 1))
+        current = jnp.full((H, W, 3), 1.0)
+        history = jnp.full((H, W, 3), 0.0)
+        moments = jnp.zeros((H, W, 3))
+        out, new_m = temporal_accumulate(
+            current, world, normals, world, history, moments, cam,
+            2.0, history_weight=0.9,
+        )
+        # Blend = 0.1*current + 0.9*history, but neighborhood clamping
+        # pulls history up to the current min => output = current.
+        assert np.asarray(out)[..., :3].max() <= 1.0
+        assert int(np.asarray(new_m)[8, 8, 2]) == 1  # sample count started
+
+    def test_ignore_history_passes_current(self):
+        H = W = 8
+        cam = make_cam()
+        world = jnp.zeros((H, W, 4)).at[..., 2].set(-5.0)
+        normals = jnp.tile(jnp.array([0.0, 0.0, 1.0]), (H, W, 1))
+        current = jnp.full((H, W, 3), 0.7)
+        out, _ = temporal_accumulate(
+            current, world, normals, world,
+            jnp.full((H, W, 3), 0.1), jnp.zeros((H, W, 3)), cam, 2.0,
+            ignore_history=True,
+        )
+        np.testing.assert_allclose(np.asarray(out)[..., :3], 0.7, atol=1e-6)
+
+    def test_motion_vectors_zero_when_static(self):
+        H = W = 8
+        cam = make_cam()
+        world = jnp.zeros((H, W, 4)).at[..., 2].set(-5.0)
+        mv = generate_motion_vectors(world, cam, cam, 2.0, W, H)
+        np.testing.assert_allclose(np.asarray(mv), 0.0, atol=1e-4)
+
+
+class TestDenoiser:
+    def test_flat_image_unchanged(self):
+        H = W = 16
+        cv = jnp.concatenate(
+            [jnp.full((H, W, 3), 0.5), jnp.full((H, W, 1), 0.01)], axis=-1
+        )
+        normals = jnp.tile(jnp.array([0.0, 0.0, 1.0]), (H, W, 1))
+        pos = jnp.zeros((H, W, 4)).at[..., 3].set(0.1)
+        out = denoise(cv, cv[..., :3], normals, pos, iterations=2)
+        np.testing.assert_allclose(
+            np.asarray(out)[..., :3], 0.5, atol=1e-3
+        )
+
+    def test_reduces_noise_variance(self, rng):
+        H = W = 32
+        noisy = jnp.asarray(
+            0.5 + rng.normal(0, 0.2, (H, W, 3)).astype(np.float32)
+        )
+        cv = jnp.concatenate([noisy, jnp.full((H, W, 1), 0.04)], axis=-1)
+        normals = jnp.tile(jnp.array([0.0, 0.0, 1.0]), (H, W, 1))
+        pos = jnp.zeros((H, W, 4)).at[..., 3].set(0.1)
+        out = denoise(cv, noisy, normals, pos, iterations=3)
+        assert float(jnp.std(out[..., 0])) < float(jnp.std(noisy[..., 0])) / 2
+
+    def test_respects_normal_edges(self, rng):
+        """A sharp normal discontinuity should keep the color edge."""
+        H = W = 32
+        color = jnp.zeros((H, W, 3)).at[:, : W // 2].set(1.0)
+        cv = jnp.concatenate([color, jnp.full((H, W, 1), 0.04)], axis=-1)
+        normals = (
+            jnp.zeros((H, W, 3))
+            .at[:, : W // 2].set(jnp.array([0.0, 0.0, 1.0]))
+            .at[:, W // 2 :].set(jnp.array([1.0, 0.0, 0.0]))
+        )
+        pos = jnp.zeros((H, W, 4)).at[..., 3].set(0.1)
+        out = denoise(cv, color, normals, pos, iterations=3)
+        left = float(jnp.mean(out[:, : W // 2 - 4, 0]))
+        right = float(jnp.mean(out[:, W // 2 + 4 :, 0]))
+        assert left > 0.9 and right < 0.1
+
+
+class TestRealtime:
+    def test_composite_formula(self):
+        albedo = jnp.full((4, 4, 3), 0.5)
+        indirect = jnp.full((4, 4, 3), 2.0)
+        emissive = jnp.full((4, 4, 3), 0.25)
+        dc = jnp.full((4, 4), 1.0)
+        out = composite_albedo(albedo, dc, indirect, emissive)
+        np.testing.assert_allclose(np.asarray(out), 0.5 * 2.0 + 0.25)
+        dc0 = jnp.zeros((4, 4))
+        out0 = composite_albedo(albedo, dc0, indirect, emissive)
+        np.testing.assert_allclose(np.asarray(out0), 2.0 + 0.25)
+
+    def test_governor_raises_pad_when_slow(self):
+        g = FrameRateGovernor(target_fps=30.0, pad=0.05)
+        for _ in range(5):
+            g.update(0.1)  # 10 fps
+        assert g.pad > 0.05
+
+    def test_governor_lowers_pad_when_fast(self):
+        g = FrameRateGovernor(target_fps=30.0, pad=0.5)
+        for _ in range(5):
+            g.update(0.01)  # 100 fps
+        assert g.pad < 0.5
+
+
+class TestML:
+    def test_tza_parses_reference_weights(self):
+        import os
+
+        path = "/root/reference/TracerBoy/ML/rt_ldr_alb_nrm.tza"
+        if not os.path.exists(path):
+            pytest.skip("reference weights not present")
+        from tracerboy_tpu.ml.tza import read_tza
+
+        w = read_tza(path)
+        assert w["enc_conv0.weight"][0].shape == (32, 9, 3, 3)
+        assert w["dec_conv0.weight"][0].shape == (3, 32, 3, 3)
+        # 16 convs: enc 0,1,2,3,4,5a,5b + dec 4a,4b,3a,3b,2a,2b,1a,1b,0
+        assert len([k for k in w if k.endswith(".weight")]) == 16
+
+    def test_oidn_smooths(self, rng):
+        import os
+
+        path = "/root/reference/TracerBoy/ML/rt_ldr.tza"
+        if not os.path.exists(path):
+            pytest.skip("reference weights not present")
+        from tracerboy_tpu.ml.oidn import load_oidn, denoise_image
+
+        model, variables = load_oidn(path)
+        noisy = jnp.asarray(
+            np.clip(0.5 + rng.normal(0, 0.2, (32, 48, 3)), 0, 1),
+            jnp.float32,
+        )
+        out = denoise_image(model, variables, noisy)
+        assert out.shape == (32, 48, 3)
+        tv = lambda im: float(jnp.abs(jnp.diff(im, axis=0)).mean())
+        assert tv(out) < tv(noisy) / 3
+
+    def test_fsr_upscale_shapes(self, rng):
+        from tracerboy_tpu.ml.fsr import fsr_upscale
+
+        img = jnp.asarray(rng.random((24, 36, 3)), jnp.float32)
+        out = fsr_upscale(img, 2.0)
+        assert out.shape == (48, 72, 3)
+        # Mean brightness approximately preserved
+        assert abs(float(out.mean()) - float(img.mean())) < 0.05
+
+    def test_superres_residual_identity_tendency(self, rng):
+        import os
+
+        path = "/root/reference/TracerBoy/ML/weights.bin"
+        if not os.path.exists(path):
+            pytest.skip("reference weights not present")
+        from tracerboy_tpu.ml.superres import load_superres, upscale2x
+
+        p = load_superres(path)
+        img = jnp.asarray(rng.random((16, 16, 3)), jnp.float32)
+        out = upscale2x(p, img)
+        assert out.shape == (32, 32, 3)
+        assert np.isfinite(np.asarray(out)).all()
