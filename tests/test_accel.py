@@ -95,7 +95,7 @@ class TestTraversal:
             jnp.asarray(orig), jnp.asarray(d),
             jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
         )
-        t_bvh, tri_bvh, _, _ = traverse_wide(
+        t_bvh, tri_bvh, _, _, cost = traverse_wide(
             jnp.asarray(orig), jnp.asarray(d), jnp.full((n_rays,), 1e30),
             jnp.asarray(bvh.bounds_lo), jnp.asarray(bvh.bounds_hi),
             jnp.asarray(bvh.children),
@@ -141,7 +141,7 @@ class TestTraversal:
         p0, p1, p2 = padded_tris(bvh, v0, v1, v2)
         orig = np.full((8, 3), 100.0, np.float32)
         d = np.tile(np.array([[1.0, 0, 0]], np.float32), (8, 1))
-        t, tri, _, _ = traverse_wide(
+        t, tri, _, _, _ = traverse_wide(
             jnp.asarray(orig), jnp.asarray(d), jnp.full((8,), 1e30),
             jnp.asarray(bvh.bounds_lo), jnp.asarray(bvh.bounds_hi),
             jnp.asarray(bvh.children),

@@ -116,6 +116,19 @@ def post_process(accum, settings: OutputSettings, aovs=None, width=0,
         if v is None:
             return jnp.zeros((h, w, 3), jnp.float32)
         return heatmap(v.reshape(h, w))
+    if out_type == OutputType.HEATMAP:
+        hm = aovs.get("heatmap")
+        if hm is None:
+            return jnp.zeros((h, w, 3), jnp.float32)
+        hm = hm.reshape(h, w)
+        return heatmap(hm / jnp.maximum(jnp.max(hm), 1e-6))
+    if out_type == OutputType.LIVE_PIXELS:
+        lp = aovs.get("live_pixels")
+        if lp is None:
+            return jnp.ones((h, w, 3), jnp.float32)
+        return jnp.repeat(
+            lp.reshape(h, w, 1).astype(jnp.float32), 3, axis=-1
+        )
     if out_type == OutputType.MOTION_VECTORS:
         mv = aovs.get("motion")
         if mv is None:

@@ -157,14 +157,37 @@ class Renderer:
             p["fixed_pixel_offset"] = jnp.asarray(fixed_offset, jnp.float32)
         return p
 
+    # -- adaptive sampling (VarianceUtil.h ShouldSkipRay) -----------------
+    ADAPTIVE_MIN_SPP = 64  # the reference starts comparing after many spp
+
+    def active_pixel_mask(self) -> jnp.ndarray | None:
+        """Per-pixel convergence mask; None when adaptive sampling is off
+        or not warmed up. A pixel goes inactive when the two accumulator
+        estimates agree within min_convergence (relative luma error)."""
+        perf = self.settings.performance_settings
+        if (not perf.enable_adaptive_sampling
+                or self.state.spp < self.ADAPTIVE_MIN_SPP):
+            return None
+        a = self.state.accum
+        j = self.state.accum_jittered
+        la = tm._luma(a[..., :3] / jnp.maximum(a[..., 3:4], 1e-8))[..., 0]
+        lj = tm._luma(j[..., :3] / jnp.maximum(j[..., 3:4], 1e-8))[..., 0]
+        err = jnp.abs(la - lj) / jnp.maximum(la, 1e-4)
+        return (err > perf.min_convergence).reshape(-1)
+
     # -- stepping --------------------------------------------------------
     def render_sample(self, n: int = 1):
         """Trace n progressive samples, accumulating into state."""
         cfg = self.wave_config()
         pixel_ids = jnp.arange(self.width * self.height, dtype=jnp.int32)
         for _ in range(n):
+            params = self.frame_params()
+            mask = self.active_pixel_mask()
+            if mask is not None:
+                params["active_mask"] = mask
+                self._live_pixels = mask
             out = render_wave(
-                self.scene_pytree, self.frame_params(), pixel_ids,
+                self.scene_pytree, params, pixel_ids,
                 jnp.int32(self.state.spp), cfg,
             )
             self._accumulate(out)
@@ -256,14 +279,48 @@ class Renderer:
     def current_image(self, tonemapped: bool = True) -> np.ndarray:
         from tracerboy_tpu.post.pipeline import post_process
 
+        aovs = getattr(self, "_last_aovs", None)
+        if aovs is not None:
+            aovs = dict(aovs)
+            lp = getattr(self, "_live_pixels", None)
+            if lp is not None:
+                aovs["live_pixels"] = lp
+            # Variance AOV: |main - jittered| luma (VarianceUtil metric).
+            a = self.state.accum
+            j = self.state.accum_jittered
+            la = tm._luma(a[..., :3] / jnp.maximum(a[..., 3:4], 1e-8))
+            lj = tm._luma(j[..., :3] / jnp.maximum(j[..., 3:4], 1e-8))
+            aovs["variance"] = jnp.abs(la - lj)[..., 0]
         img = post_process(
             self.state.accum,
             self.settings,
-            aovs=getattr(self, "_last_aovs", None),
+            aovs=aovs,
             width=self.width,
             height=self.height,
         )
         return np.asarray(img)
+
+    def visualize_selected_ray_path(self, x: int, y: int,
+                                    spp: int = 1) -> np.ndarray:
+        """Render with ray recording for pixel (x, y) and overlay the
+        bounce path on the current image (the reference's VisualizeRays
+        debug view, TracerBoy.cpp:3201-3244)."""
+        from tracerboy_tpu.post.visualize import overlay_ray_path
+
+        cfg = self.wave_config()
+        pixel_ids = jnp.arange(self.width * self.height, dtype=jnp.int32)
+        params = self.frame_params()
+        params["selected_pixel"] = jnp.int32(y * self.width + x)
+        out = render_wave(
+            self.scene_pytree, params, pixel_ids,
+            jnp.int32(self.state.spp), cfg,
+        )
+        self._accumulate(out)
+        base = self.current_image()
+        return overlay_ray_path(
+            base, out["viz_rays"], self.scene_pytree["camera"],
+            self.width, self.height,
+        )
 
     def render(self, spp: int | None = None) -> np.ndarray:
         """Convenience: trace to the sample target and return the image.

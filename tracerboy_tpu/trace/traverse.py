@@ -81,6 +81,11 @@ def traverse_wide(
         u_best=vz,
         v_best=vz,
         occluded=vzi > 0,
+        # Per-ray traversal-cost counters (box tests / triangle tests) —
+        # the heatmap instrumentation of the reference's traversal
+        # (TraverseFunction.hlsli:46-47).
+        box_tests=vz,
+        tri_tests=vz,
         step=jnp.int32(0),
     )
 
@@ -111,6 +116,11 @@ def traverse_wide(
         valid = box_hit & (ch != INVALID) & live[:, None]
         is_leaf = valid & (ch < 0)
         is_inner = valid & (ch >= 0)
+
+        box_tests = s["box_tests"] + jnp.where(live, 8.0, 0.0)
+        tri_tests = s["tri_tests"] + jnp.sum(
+            is_leaf.astype(jnp.float32), axis=1
+        ) * K
 
         # --- push inner children ---
         push_order = jnp.cumsum(is_inner.astype(jnp.int32), axis=1) - 1
@@ -162,6 +172,7 @@ def traverse_wide(
         return dict(
             stack=stack, sp=sp_new, t_best=t_best, tri_best=tri_best,
             u_best=u_best, v_best=v_best, occluded=occluded,
+            box_tests=box_tests, tri_tests=tri_tests,
             step=s["step"] + 1,
         )
 
@@ -175,4 +186,5 @@ def traverse_wide(
         out["tri_best"],
         out["u_best"],
         out["v_best"],
+        out["box_tests"] + out["tri_tests"],
     )

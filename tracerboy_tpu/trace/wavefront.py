@@ -157,7 +157,10 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         direction=direction,
         throughput=jnp.ones((N, 3), jnp.float32) + vz[:, None],
         radiance=zero3,
-        alive=vz == 0.0,
+        # Adaptive sampling: converged pixels are masked off up front
+        # (VarianceUtil.h ShouldSkipRay semantics, driven by the caller).
+        alive=(vz == 0.0) if params.get("active_mask") is None
+        else (params["active_mask"] & (vz == 0.0)),
         prev_perfect_specular=vz != 0.0,
         inside=vz != 0.0,
         med_absorption=zero3,
@@ -172,6 +175,8 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         aov_material=jnp.full((N,), -1, jnp.int32) + vz.astype(jnp.int32),
         aov_diffuse_contrib=jnp.ones((N,), jnp.float32) + vz,
         aov_neighbor_dist=vz,
+        aov_heatmap=vz,
+        viz_rays=jnp.zeros((cfg.max_bounces, 8), jnp.float32) + jnp.sum(vz),
         # Stats: total rays traced (primary+bounce+shadow) and live-lane
         # counts — the analog of the reference's wave/pixel atomics
         # (RaytraceCS.hlsl:59-65).
@@ -204,7 +209,7 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
 
         # --- traversal --------------------------------------------------
         t_max = jnp.where(alive, BIG, 0.0)
-        t, tri, u, v = traverse_wide(
+        t, tri, u, v, trav_cost = traverse_wide(
             s["origin"], s["direction"], t_max,
             scene["bvh_lo"], scene["bvh_hi"], scene["bvh_children"],
             scene["tri_v0"], scene["tri_v1"], scene["tri_v2"],
@@ -352,6 +357,25 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
             first, jnp.linalg.norm(n_hit - hit_point, axis=-1),
             s["aov_neighbor_dist"],
         )
+        s["aov_heatmap"] = jnp.where(
+            i == 0, trav_cost, s["aov_heatmap"]
+        )
+
+        # Ray-path visualization record for the selected pixel
+        # (RayGenCommon.h:600-630 OutputVisualizationRay): capture this
+        # bounce's segment for lane == selected_pixel.
+        sel = params.get("selected_pixel")
+        if sel is not None:
+            is_sel = (lane == sel) & alive
+            seg = jnp.concatenate(
+                [s["origin"], hit_point,
+                 jnp.stack([t, alive.astype(jnp.float32)], axis=-1)],
+                axis=-1,
+            )  # (N, 8)
+            sel_seg = jnp.sum(
+                jnp.where(is_sel[..., None], seg, 0.0), axis=0
+            )
+            s["viz_rays"] = s["viz_rays"].at[i].set(sel_seg)
 
         # --- NEE (kernel.glsl:1435-1517) --------------------------------
         if cfg.enable_nee and cfg.num_lights > 0:
@@ -535,6 +559,11 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
                          radiance)
     radiance = jnp.where(jnp.isnan(radiance), 0.0, radiance)
 
+    # Adaptively-skipped pixels contribute neither radiance nor weight —
+    # their accumulator must stay untouched.
+    if params.get("active_mask") is not None:
+        fw = jnp.where(params["active_mask"], fw, 0.0)
+
     return dict(
         radiance=radiance * fw[..., None],
         filter_weight=fw,
@@ -546,6 +575,8 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         material=state["aov_material"],
         diffuse_contrib=state["aov_diffuse_contrib"],
         neighbor_dist=state["aov_neighbor_dist"],
+        heatmap=state["aov_heatmap"],
+        viz_rays=state["viz_rays"],
         rays_traced=state["rays_traced"],
         live_end=state["live_end"],
     )
