@@ -42,19 +42,16 @@ class WideBVH:
     bounds_lo: np.ndarray      # (W, 8, 3) child AABB min (inf for empty)
     bounds_hi: np.ndarray      # (W, 8, 3) child AABB max (-inf for empty)
     children: np.ndarray       # (W, 8) int32, see encoding above
-    tri_order: np.ndarray      # (T,) permutation: new index -> original tri id
+    tri_order: np.ndarray      # (C*K,) map: new index -> original tri id
     leaf_size: int
     num_tris: int              # real (unpadded) triangle count
     world_lo: np.ndarray       # (3,) scene bounds
     world_hi: np.ndarray
+    num_clusters: int = 0      # leaf clusters (tri_order length / leaf_size)
 
     @property
     def num_nodes(self) -> int:
         return self.children.shape[0]
-
-    @property
-    def num_clusters(self) -> int:
-        return (self.num_tris + self.leaf_size - 1) // self.leaf_size
 
 
 def morton3d(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
@@ -354,4 +351,5 @@ def build_bvh(
         num_tris=T,
         world_lo=scene_lo,
         world_hi=scene_hi,
+        num_clusters=n_clusters,
     )

@@ -21,7 +21,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from tracerboy_tpu.accel.bvh import build_bvh
+from tracerboy_tpu.accel.native import build_bvh_auto as build_bvh
 from tracerboy_tpu.scene import types as ir
 from tracerboy_tpu.scene.curves import tessellate_curve
 from tracerboy_tpu.scene.materials import (
