@@ -71,6 +71,10 @@ class WaveConfig:
     use_blue_noise: bool = True
     decouple_albedo: bool = False   # RealTime mode: first-hit albedo out
     has_env: bool = True
+    # Small scenes skip the BVH entirely: exhaustive ray x tri testing is
+    # pure VPU broadcasting with zero gathers, which on TPU beats any
+    # pointer-chasing traversal up to a few thousand triangles.
+    use_brute_force: bool = False
 
 
 def _blue_or_hash2(scene, px, py, lane, sample_index, bounce, stream, cfg, seed):
@@ -209,12 +213,25 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
 
         # --- traversal --------------------------------------------------
         t_max = jnp.where(alive, BIG, 0.0)
-        t, tri, u, v, trav_cost = traverse_wide(
-            s["origin"], s["direction"], t_max,
-            scene["bvh_lo"], scene["bvh_hi"], scene["bvh_children"],
-            scene["tri_v0"], scene["tri_v1"], scene["tri_v2"],
-            leaf_size=cfg.leaf_size,
-        )
+        if cfg.use_brute_force:
+            from tracerboy_tpu.trace.intersect import brute_force_closest
+
+            t, tri, u, v = brute_force_closest(
+                s["origin"], s["direction"],
+                scene["tri_v0"], scene["tri_v1"], scene["tri_v2"],
+            )
+            t = jnp.where(alive, t, BIG)
+            tri = jnp.where(alive, tri, -1)
+            trav_cost = jnp.full(
+                (N,), float(scene["tri_v0"].shape[0]), jnp.float32
+            )
+        else:
+            t, tri, u, v, trav_cost = traverse_wide(
+                s["origin"], s["direction"], t_max,
+                scene["bvh_lo"], scene["bvh_hi"], scene["bvh_children"],
+                scene["tri_v0"], scene["tri_v1"], scene["tri_v2"],
+                leaf_size=cfg.leaf_size,
+            )
         hit = alive & (tri >= 0)
         miss = alive & (tri < 0)
 
@@ -389,14 +406,27 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
                 & (ls["pdf"] > EPSILON) & facing
             )
             sh_org = hit_point + normal * EPSILON
-            occluded = traverse_wide(
-                sh_org, ls["direction"],
-                jnp.where(do_nee, ls["distance"] * (1.0 - 1e-3), 0.0),
-                scene["bvh_lo"], scene["bvh_hi"], scene["bvh_children"],
-                scene["tri_v0"], scene["tri_v1"], scene["tri_v2"],
-                leaf_size=cfg.leaf_size, any_hit=True,
-                tri_mask=scene.get("tri_shadow_opaque"),
-            )
+            sh_tmax = jnp.where(do_nee, ls["distance"] * (1.0 - 1e-3), 0.0)
+            if cfg.use_brute_force:
+                from tracerboy_tpu.trace.intersect import ray_triangle
+
+                ts, _, _, hits = ray_triangle(
+                    sh_org[:, None, :], ls["direction"][:, None, :],
+                    scene["tri_v0"][None], scene["tri_v1"][None],
+                    scene["tri_v2"][None], t_max=sh_tmax[:, None],
+                )
+                opaque = scene.get("tri_shadow_opaque")
+                if opaque is not None:
+                    hits = hits & opaque[None, :]
+                occluded = jnp.any(hits, axis=1)
+            else:
+                occluded = traverse_wide(
+                    sh_org, ls["direction"], sh_tmax,
+                    scene["bvh_lo"], scene["bvh_hi"], scene["bvh_children"],
+                    scene["tri_v0"], scene["tri_v1"], scene["tri_v2"],
+                    leaf_size=cfg.leaf_size, any_hit=True,
+                    tri_mask=scene.get("tri_shadow_opaque"),
+                )
             s["rays_traced"] = s["rays_traced"] + jnp.sum(
                 do_nee.astype(jnp.float32)
             )
