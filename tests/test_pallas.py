@@ -8,11 +8,10 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from tracerboy_tpu.accel.native import build_bvh_auto
 from tracerboy_tpu.trace.intersect import brute_force_closest
 from tracerboy_tpu.trace.pallas_traverse import (
     PACKET,
-    pack_bvh,
+    pack_scene_for_pallas,
     traverse_packets,
 )
 
@@ -32,75 +31,74 @@ def make_rays(rng, n_rays, toward=8.0, spread=30.0):
     return o, d.astype(np.float32)
 
 
-@pytest.mark.parametrize("n_tris", [37, 2000])
+def run_packets(o, d, t_max, packed):
+    t, tri, u, v = traverse_packets(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_max), packed,
+        interpret=True,
+    )
+    tri = np.asarray(tri)
+    mapped = np.where(tri >= 0, np.asarray(packed["tri_map"])[np.clip(tri, 0, None)], -1)
+    return np.asarray(t), mapped
+
+
+@pytest.mark.parametrize("n_tris", [37, 2000, 20_000])
 def test_packet_matches_brute_force(rng, n_tris):
     v0, v1, v2 = make_scene(rng, n_tris)
-    bvh = build_bvh_auto(v0, v1, v2, leaf_size=4)
-    packed = pack_bvh(bvh, v0, v1, v2)
+    packed, _ = pack_scene_for_pallas(v0, v1, v2)
     o, d = make_rays(rng, PACKET)
-    t, tri, u, v = traverse_packets(
-        jnp.asarray(o), jnp.asarray(d),
-        jnp.full((PACKET,), 1e30, np.float32), packed, interpret=True,
-    )
-    t_ref, _, _, _ = brute_force_closest(
+    t, tri = run_packets(o, d, np.full((PACKET,), 1e30, np.float32), packed)
+    t_ref, tri_ref, _, _ = brute_force_closest(
         jnp.asarray(o), jnp.asarray(d),
         jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
     )
-    t = np.asarray(t)
     t_ref = np.asarray(t_ref)
-    hit = np.asarray(tri) >= 0
+    hit = tri >= 0
     hit_ref = t_ref < 1e29
     np.testing.assert_array_equal(hit, hit_ref)
     np.testing.assert_allclose(t[hit], t_ref[hit], rtol=1e-4)
+    # Where t is unique, tri ids must agree too.
+    same = np.abs(t - t_ref) < 1e-6
+    assert (tri[hit & same] == np.asarray(tri_ref)[hit & same]).mean() > 0.99
 
 
 def test_packet_respects_tmax(rng):
     v0, v1, v2 = make_scene(rng, 500)
-    bvh = build_bvh_auto(v0, v1, v2, leaf_size=4)
-    packed = pack_bvh(bvh, v0, v1, v2)
+    packed, _ = pack_scene_for_pallas(v0, v1, v2)
     o, d = make_rays(rng, PACKET)
-    t_full, tri_full, _, _ = traverse_packets(
-        jnp.asarray(o), jnp.asarray(d),
-        jnp.full((PACKET,), 1e30, np.float32), packed, interpret=True,
-    )
+    t_full, _ = run_packets(o, d, np.full((PACKET,), 1e30, np.float32), packed)
     cap = 10.0
-    t_cap, tri_cap, _, _ = traverse_packets(
-        jnp.asarray(o), jnp.asarray(d),
-        jnp.full((PACKET,), cap, np.float32), packed, interpret=True,
-    )
-    t_cap = np.asarray(t_cap)
-    hit_cap = np.asarray(tri_cap) >= 0
+    t_cap, tri_cap = run_packets(o, d, np.full((PACKET,), cap, np.float32), packed)
+    hit_cap = tri_cap >= 0
     assert np.all(t_cap[hit_cap] < cap)
-    # Every capped hit must match the uncapped result at that t.
-    t_full = np.asarray(t_full)
     np.testing.assert_allclose(t_cap[hit_cap], t_full[hit_cap], rtol=1e-5)
 
 
-def test_quantized_bounds_conservative(rng):
-    """Quantization must never cull a hit child box: compare against the
-    unquantized jnp traversal on a thin-triangle scene (worst case for
-    uint8 bounds)."""
-    from tracerboy_tpu.trace.traverse import traverse_wide
+def test_end_to_end_render_parity(tmp_path):
+    """Full render with the pallas backend (interpret) matches jnp."""
+    import os
+    import tracerboy_tpu.trace.pallas_traverse as pt
+    from tracerboy_tpu import Renderer
+    import tests.conftest as c
 
-    v0, v1, v2 = make_scene(rng, 800, size=0.02)  # thin slivers
-    bvh = build_bvh_auto(v0, v1, v2, leaf_size=4)
-    packed = pack_bvh(bvh, v0, v1, v2)
-    p0, p1, p2 = (x[bvh.tri_order] for x in (v0, v1, v2))
-    o, d = make_rays(rng, PACKET)
-    t_pk, tri_pk, _, _ = traverse_packets(
-        jnp.asarray(o), jnp.asarray(d),
-        jnp.full((PACKET,), 1e30, np.float32), packed, interpret=True,
-    )
-    t_jn, tri_jn, _, _, _ = traverse_wide(
-        jnp.asarray(o), jnp.asarray(d), jnp.full((PACKET,), 1e30),
-        jnp.asarray(bvh.bounds_lo), jnp.asarray(bvh.bounds_hi),
-        jnp.asarray(bvh.children),
-        jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2), leaf_size=4,
-    )
-    np.testing.assert_array_equal(
-        np.asarray(tri_pk) >= 0, np.asarray(tri_jn) >= 0
-    )
-    hits = np.asarray(tri_pk) >= 0
-    np.testing.assert_allclose(
-        np.asarray(t_pk)[hits], np.asarray(t_jn)[hits], rtol=1e-4
-    )
+    path = c.require_scene("cornell-box/scene.pbrt")
+
+    orig = pt.traverse_packets
+
+    def patched(o, d, tm, packed, interpret=False):
+        return orig(o, d, tm, packed, interpret=True)
+
+    pt.traverse_packets = patched
+    try:
+        os.environ["TB_TRAVERSAL"] = "pallas"
+        r1 = Renderer(path, film_size=(32, 24))
+        assert r1.traversal == "pallas"
+        r1.render_sample(2)
+        img1 = np.asarray(r1.resolve_radiance())
+        os.environ["TB_TRAVERSAL"] = "jnp"
+        r2 = Renderer(path, film_size=(32, 24))
+        r2.render_sample(2)
+        img2 = np.asarray(r2.resolve_radiance())
+    finally:
+        pt.traverse_packets = orig
+        os.environ.pop("TB_TRAVERSAL", None)
+    np.testing.assert_allclose(img1, img2, atol=1e-4)

@@ -69,9 +69,33 @@ class Renderer:
         self.height = scene.film_height
         if film_size is not None:
             self.width, self.height = film_size
-        self.scene_pytree = scene.as_pytree()
+        self.traversal = self._pick_traversal(scene)
+        self.scene_pytree = scene.as_pytree(
+            pack_pallas=(self.traversal == "pallas")
+        )
         self.state = self.make_state()
         self._start_time = time.time()
+
+    @staticmethod
+    def _pick_traversal(scene: CompiledScene) -> str:
+        """Backend policy: brute force for tiny scenes (zero gathers beats
+        any traversal), the Pallas packet kernel when the packed BVH +
+        triangles fit VMEM, lock-step jnp traversal otherwise. Override
+        with TB_TRAVERSAL=brute|pallas|jnp."""
+        import os
+
+        forced = os.environ.get("TB_TRAVERSAL")
+        if forced in ("brute", "pallas", "jnp"):
+            return forced
+        T = scene.tri_v0.shape[0]
+        if T <= 2048:
+            return "brute"
+        # Packed VMEM estimate: nodes 512 B/row-of-4 + tris 512 B/row-of-3
+        W = scene.bvh_children.shape[0]
+        vmem = (W // 4 + 1) * 512 + (T // scene.leaf_size // 3 + 1) * 512
+        if vmem <= 10 * 2**20:
+            return "pallas"
+        return "jnp"
 
     # -- state -----------------------------------------------------------
     def make_state(self) -> RenderState:
@@ -143,6 +167,7 @@ class Renderer:
             use_blue_noise=perf.use_blue_noise,
             decouple_albedo=(s.render_mode == RenderMode.REAL_TIME),
             has_env=self.compiled.has_env,
+            traversal=self.traversal,
         )
 
     def frame_params(self, fixed_offset=None) -> dict:

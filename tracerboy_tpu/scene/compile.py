@@ -87,14 +87,34 @@ class CompiledScene:
     blue_noise0: np.ndarray      # (256, 256, 4) in [0,1)
     blue_noise1: np.ndarray
 
-    def as_pytree(self) -> dict:
-        """Device-ready dict pytree (jnp arrays) for the render step."""
+    def as_pytree(self, pack_pallas: bool = False) -> dict:
+        """Device-ready dict pytree (jnp arrays) for the render step.
+
+        pack_pallas=True additionally emits the quantized packed node/tri
+        arrays for the Pallas packet kernel, including a second BVH over
+        non-light geometry for shadow rays.
+        """
         import jax.numpy as jnp
 
         def j(x):
             return jnp.asarray(x)
 
+        extra = {}
+        if pack_pallas:
+            extra = self.pallas_pack()
+
         return dict(
+            **extra,
+            world_lo=j(
+                np.minimum(
+                    np.minimum(self.tri_v0, self.tri_v1), self.tri_v2
+                ).min(axis=0)
+            ),
+            world_hi=j(
+                np.maximum(
+                    np.maximum(self.tri_v0, self.tri_v1), self.tri_v2
+                ).max(axis=0)
+            ),
             tri_v0=j(self.tri_v0), tri_v1=j(self.tri_v1), tri_v2=j(self.tri_v2),
             tri_n0=j(self.tri_n0), tri_n1=j(self.tri_n1), tri_n2=j(self.tri_n2),
             tri_uv0=j(self.tri_uv0), tri_uv1=j(self.tri_uv1),
@@ -115,6 +135,34 @@ class CompiledScene:
             env_color_scale=j(self.env_color_scale),
             blue_noise0=j(self.blue_noise0), blue_noise1=j(self.blue_noise1),
             camera=self.camera.as_pytree(),
+        )
+
+    def pallas_pack(self) -> dict:
+        """Packed arrays for the Pallas packet kernel: a leaf-8 BVH over
+        the scene triangles plus a second one over non-light triangles
+        for shadow rays (the IsLight pass-through semantics)."""
+        from tracerboy_tpu.trace.pallas_traverse import pack_scene_for_pallas
+
+        pk, _ = pack_scene_for_pallas(
+            self.tri_v0, self.tri_v1, self.tri_v2
+        )
+
+        opaque = (self.materials["flags"][self.tri_material] & 0x10) == 0
+        so_idx = np.where(opaque)[0]
+        if len(so_idx) == 0:
+            so_idx = np.arange(1)
+        pk_sh, _ = pack_scene_for_pallas(
+            self.tri_v0[so_idx], self.tri_v1[so_idx], self.tri_v2[so_idx]
+        )
+        import jax.numpy as jnp
+
+        return dict(
+            pk_nodes=pk["nodes"], pk_tris=pk["tris"],
+            pk_tri_map=pk["tri_map"],
+            pk_sh_nodes=pk_sh["nodes"], pk_sh_tris=pk_sh["tris"],
+            pk_sh_tri_map=jnp.asarray(so_idx.astype(np.int32))[
+                pk_sh["tri_map"]
+            ],
         )
 
 

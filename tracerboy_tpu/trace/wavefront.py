@@ -54,6 +54,69 @@ EPSILON = 1e-4
 MIN_BOUNCES_BEFORE_RR = 2  # kernel.glsl:1276-1277
 
 
+def _coherence_sort(origin, direction, world_lo, world_hi):
+    """Sort key grouping rays into coherent packets: direction octant
+    (3 bits) then origin morton (the wavefront ray-sorting step; the
+    paper-backed divergence mitigation from SURVEY.md 7.0)."""
+    oct_bits = (
+        (direction[:, 0] >= 0).astype(jnp.uint32)
+        | ((direction[:, 1] >= 0).astype(jnp.uint32) << 1)
+        | ((direction[:, 2] >= 0).astype(jnp.uint32) << 2)
+    )
+    ext = jnp.maximum(world_hi - world_lo, 1e-12)
+    q = jnp.clip((origin - world_lo) / ext * 255.0, 0.0, 255.0).astype(
+        jnp.uint32
+    )
+
+    def spread8(v):  # 8 bits -> every 3rd bit
+        v = (v | (v << 8)) & jnp.uint32(0xF00F)
+        v = (v | (v << 4)) & jnp.uint32(0xC30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x249249)
+        return v
+
+    morton = (
+        (spread8(q[:, 0]) << 2) | (spread8(q[:, 1]) << 1) | spread8(q[:, 2])
+    )
+    return (oct_bits << 24) | (morton >> 3)
+
+
+def _pallas_closest(scene, origin, direction, t_max, shadow: bool):
+    """Packet traversal with coherence sorting + padding."""
+    from tracerboy_tpu.trace.pallas_traverse import (
+        PACKET,
+        traverse_packets,
+    )
+
+    N = origin.shape[0]
+    key = _coherence_sort(
+        origin, direction, scene["world_lo"], scene["world_hi"]
+    )
+    perm = jnp.argsort(key)
+    pad = (-N) % PACKET
+    if pad:
+        perm_p = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)])
+        tmax_p = jnp.concatenate(
+            [t_max[perm], jnp.zeros((pad,), t_max.dtype)]
+        )
+    else:
+        perm_p = perm
+        tmax_p = t_max[perm]
+    o_s = origin[perm_p]
+    d_s = direction[perm_p]
+
+    prefix = "pk_sh_" if shadow else "pk_"
+    packed = dict(nodes=scene[prefix + "nodes"], tris=scene[prefix + "tris"])
+    t, tri, u, v = traverse_packets(o_s, d_s, tmax_p, packed)
+    # Packed tri ids -> scene tri order.
+    tri_map = scene[prefix + "tri_map"]
+    tri = jnp.where(tri >= 0, tri_map[jnp.clip(tri, 0, None)], -1)
+
+    inv = jnp.zeros((N,), jnp.int32).at[perm].set(
+        jnp.arange(N, dtype=jnp.int32)
+    )
+    return t[inv], tri[inv], u[inv], v[inv]
+
+
 @dataclass(frozen=True)
 class WaveConfig:
     """Static integrator configuration (specializes the jit)."""
@@ -71,10 +134,17 @@ class WaveConfig:
     use_blue_noise: bool = True
     decouple_albedo: bool = False   # RealTime mode: first-hit albedo out
     has_env: bool = True
-    # Small scenes skip the BVH entirely: exhaustive ray x tri testing is
-    # pure VPU broadcasting with zero gathers, which on TPU beats any
-    # pointer-chasing traversal up to a few thousand triangles.
-    use_brute_force: bool = False
+    # Traversal backend:
+    #  "jnp"    — lock-step masked traversal (portable reference)
+    #  "brute"  — exhaustive ray x tri tests; zero gathers, fastest for
+    #             scenes up to a few thousand triangles
+    #  "pallas" — packet kernel over the quantized wide BVH (VMEM-resident
+    #             scenes); bounce rays are sorted into coherent packets
+    traversal: str = "jnp"
+
+    @property
+    def use_brute_force(self):
+        return self.traversal == "brute"
 
 
 def _blue_or_hash2(scene, px, py, lane, sample_index, bounce, stream, cfg, seed):
@@ -225,6 +295,11 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
             trav_cost = jnp.full(
                 (N,), float(scene["tri_v0"].shape[0]), jnp.float32
             )
+        elif cfg.traversal == "pallas":
+            t, tri, u, v = _pallas_closest(
+                scene, s["origin"], s["direction"], t_max, shadow=False
+            )
+            trav_cost = jnp.zeros((N,), jnp.float32)
         else:
             t, tri, u, v, trav_cost = traverse_wide(
                 s["origin"], s["direction"], t_max,
@@ -419,6 +494,13 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
                 if opaque is not None:
                     hits = hits & opaque[None, :]
                 occluded = jnp.any(hits, axis=1)
+            elif cfg.traversal == "pallas":
+                # Shadow rays traverse a second packed BVH that excludes
+                # light geometry (the IsLight pass-through semantics).
+                st, _, _, _ = _pallas_closest(
+                    scene, sh_org, ls["direction"], sh_tmax, shadow=True
+                )
+                occluded = st < sh_tmax
             else:
                 occluded = traverse_wide(
                     sh_org, ls["direction"], sh_tmax,
