@@ -142,14 +142,17 @@ def _traverse_kernel(o_ref, d_ref, tmax_ref, nodes_ref, tris_ref,
         sp = sp - 1
 
         row = nodes_ref[pl.ds(node, 1), :]      # (1, 128) i32
+        # Bitcast the whole row vector once (scalar tpu.bitcast is not
+        # lowerable); bounds read from the f32 view, ids from the i32 one.
+        rowf = fbits(row)
 
         def child_test(c):
-            lo_x = fbits(row[0, c])
-            lo_y = fbits(row[0, 8 + c])
-            lo_z = fbits(row[0, 16 + c])
-            hi_x = fbits(row[0, 24 + c])
-            hi_y = fbits(row[0, 32 + c])
-            hi_z = fbits(row[0, 40 + c])
+            lo_x = rowf[0, c]
+            lo_y = rowf[0, 8 + c]
+            lo_z = rowf[0, 16 + c]
+            hi_x = rowf[0, 24 + c]
+            hi_y = rowf[0, 32 + c]
+            hi_z = rowf[0, 40 + c]
             t0x = (lo_x - ox) * inv_x
             t1x = (hi_x - ox) * inv_x
             t0y = (lo_y - oy) * inv_y
