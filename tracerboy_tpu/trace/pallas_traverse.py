@@ -41,6 +41,9 @@ import numpy as np
 from tracerboy_tpu.accel.bvh import WideBVH, INVALID
 
 PACKET = 1024          # rays per packet (8 sublanes x 128 lanes)
+PACKETS_PER_BLOCK = 16  # packets traversed per kernel program; amortizes
+                        # the ~0.1 ms per-program launch cost measured on
+                        # v5e (tiny-scene floor was launch-bound)
 STACK_DEPTH = 96
 LEAF = 8               # triangles per cluster row (8 x 9 = 72 floats)
 BIG = 1e30
@@ -111,15 +114,29 @@ def pack_bvh(bvh: WideBVH, tri_v0, tri_v1, tri_v2):
 
 def _traverse_kernel(o_ref, d_ref, tmax_ref, nodes_ref, tris_ref,
                      t_out, tri_out, u_out, v_out, stack_ref):
+    """Traverse PACKETS_PER_BLOCK packets sequentially in one program."""
     import jax.lax as lax
     from jax.experimental import pallas as pl
 
-    ox = o_ref[0, 0, :]
-    oy = o_ref[0, 1, :]
-    oz = o_ref[0, 2, :]
-    dx = d_ref[0, 0, :]
-    dy = d_ref[0, 1, :]
-    dz = d_ref[0, 2, :]
+    def one_packet(pp, _):
+        _traverse_one(pp, o_ref, d_ref, tmax_ref, nodes_ref, tris_ref,
+                      t_out, tri_out, u_out, v_out, stack_ref)
+        return 0
+
+    jax.lax.fori_loop(0, o_ref.shape[0], one_packet, 0)
+
+
+def _traverse_one(pp, o_ref, d_ref, tmax_ref, nodes_ref, tris_ref,
+                  t_out, tri_out, u_out, v_out, stack_ref):
+    import jax.lax as lax
+    from jax.experimental import pallas as pl
+
+    ox = o_ref[pp, 0, :]
+    oy = o_ref[pp, 1, :]
+    oz = o_ref[pp, 2, :]
+    dx = d_ref[pp, 0, :]
+    dy = d_ref[pp, 1, :]
+    dz = d_ref[pp, 2, :]
     eps = jnp.float32(1e-12)
     fix = lambda v: jnp.where(jnp.abs(v) < eps,
                               jnp.where(v < 0, -eps, eps), v)
@@ -127,7 +144,7 @@ def _traverse_kernel(o_ref, d_ref, tmax_ref, nodes_ref, tris_ref,
     inv_y = 1.0 / fix(dy)
     inv_z = 1.0 / fix(dz)
 
-    t_best0 = tmax_ref[0, 0, :]
+    t_best0 = tmax_ref[pp, 0, :]
     stack_ref[0] = 0
 
     fbits = lambda w: lax.bitcast_convert_type(w, jnp.float32)
@@ -240,10 +257,10 @@ def _traverse_kernel(o_ref, d_ref, tmax_ref, nodes_ref, tris_ref,
             jnp.zeros((P,), jnp.float32),
         ),
     )
-    t_out[0, 0, :] = jnp.where(tri_best < 0, jnp.float32(BIG), t_best)
-    tri_out[0, 0, :] = tri_best
-    u_out[0, 0, :] = u_best
-    v_out[0, 0, :] = v_best
+    t_out[pp, 0, :] = jnp.where(tri_best < 0, jnp.float32(BIG), t_best)
+    tri_out[pp, 0, :] = tri_best
+    u_out[pp, 0, :] = u_best
+    v_out[pp, 0, :] = v_best
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -258,8 +275,21 @@ def traverse_packets(orig, direc, t_max, packed, interpret: bool = False):
     from jax.experimental.pallas import tpu as pltpu
 
     N = orig.shape[0]
-    assert N % PACKET == 0, "ray count must be a multiple of PACKET"
-    n_packets = N // PACKET
+    BLOCK_RAYS = PACKET * PACKETS_PER_BLOCK
+    pad = (-N) % BLOCK_RAYS
+    if pad:
+        zeros = jnp.zeros((pad, 3), orig.dtype)
+        orig = jnp.concatenate([orig, zeros])
+        direc = jnp.concatenate(
+            [direc, jnp.ones((pad, 3), direc.dtype)]
+        )
+        t_max = jnp.concatenate(
+            [t_max, jnp.zeros((pad,), t_max.dtype)]  # dead rays
+        )
+    Np = N + pad
+    n_packets = Np // PACKET
+    n_blocks = n_packets // PACKETS_PER_BLOCK
+    PPB = PACKETS_PER_BLOCK
 
     o_t = orig.T.reshape(3, n_packets, PACKET).swapaxes(0, 1)
     d_t = direc.T.reshape(3, n_packets, PACKET).swapaxes(0, 1)
@@ -267,25 +297,25 @@ def traverse_packets(orig, direc, t_max, packed, interpret: bool = False):
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(n_packets,),
+        grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, 3, PACKET), lambda i: (i, 0, 0),
+            pl.BlockSpec((PPB, 3, PACKET), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, PACKET), lambda i: (i, 0, 0),
+            pl.BlockSpec((PPB, 3, PACKET), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, PACKET), lambda i: (i, 0, 0),
+            pl.BlockSpec((PPB, 1, PACKET), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes
             pl.BlockSpec(memory_space=pltpu.VMEM),   # tris
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, PACKET), lambda i: (i, 0, 0),
+            pl.BlockSpec((PPB, 1, PACKET), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, PACKET), lambda i: (i, 0, 0),
+            pl.BlockSpec((PPB, 1, PACKET), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, PACKET), lambda i: (i, 0, 0),
+            pl.BlockSpec((PPB, 1, PACKET), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, PACKET), lambda i: (i, 0, 0),
+            pl.BlockSpec((PPB, 1, PACKET), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
@@ -304,5 +334,6 @@ def traverse_packets(orig, direc, t_max, packed, interpret: bool = False):
     )(o_t, d_t, tm, packed["nodes"], packed["tris"])
 
     return (
-        t.reshape(N), tri.reshape(N), u.reshape(N), v.reshape(N),
+        t.reshape(Np)[:N], tri.reshape(Np)[:N],
+        u.reshape(Np)[:N], v.reshape(Np)[:N],
     )

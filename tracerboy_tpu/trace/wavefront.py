@@ -84,6 +84,7 @@ def _pallas_closest(scene, origin, direction, t_max, shadow: bool):
     """Packet traversal with coherence sorting + padding."""
     from tracerboy_tpu.trace.pallas_traverse import (
         PACKET,
+        PACKETS_PER_BLOCK,
         traverse_packets,
     )
 
@@ -92,7 +93,7 @@ def _pallas_closest(scene, origin, direction, t_max, shadow: bool):
         origin, direction, scene["world_lo"], scene["world_hi"]
     )
     perm = jnp.argsort(key)
-    pad = (-N) % PACKET
+    pad = (-N) % (PACKET * PACKETS_PER_BLOCK)
     if pad:
         perm_p = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)])
         tmax_p = jnp.concatenate(
