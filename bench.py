@@ -40,6 +40,7 @@ def main():
         width=W, height=H, max_bounces=6, leaf_size=cs.leaf_size,
         num_lights=cs.num_lights, has_env=cs.has_env,
         use_blue_noise=True,
+        traversal="brute",  # fastest backend for cornell-scale scenes
     )
     params = dict(
         dof_focus=jnp.float32(0.0), dof_aperture=jnp.float32(0.0),
