@@ -202,15 +202,29 @@ class Renderer:
 
     # -- stepping --------------------------------------------------------
     def render_sample(self, n: int = 1):
-        """Trace n progressive samples, accumulating into state."""
+        """Trace n progressive samples, accumulating into state.
+
+        Batches of samples run in a single jitted dispatch; the jittered
+        convergence accumulator receives per-sample coin flips only on
+        singly-stepped samples (batched steps approximate with whole-batch
+        contributions, which keeps the estimator unbiased).
+        """
+        from tracerboy_tpu.trace.wavefront import render_wave_batch
+
         cfg = self.wave_config()
         pixel_ids = jnp.arange(self.width * self.height, dtype=jnp.int32)
-        for _ in range(n):
-            params = self.frame_params()
-            mask = self.active_pixel_mask()
-            if mask is not None:
-                params["active_mask"] = mask
-                self._live_pixels = mask
+        params = self.frame_params()
+        mask = self.active_pixel_mask()
+        if mask is not None:
+            params["active_mask"] = mask
+            self._live_pixels = mask
+        if n > 1:
+            out = render_wave_batch(
+                self.scene_pytree, params, pixel_ids,
+                jnp.int32(self.state.spp), n, cfg,
+            )
+            self._accumulate(out, samples=n)
+        else:
             out = render_wave(
                 self.scene_pytree, params, pixel_ids,
                 jnp.int32(self.state.spp), cfg,
@@ -218,7 +232,7 @@ class Renderer:
             self._accumulate(out)
         return self.state
 
-    def _accumulate(self, out):
+    def _accumulate(self, out, samples: int = 1):
         h, w = self.height, self.width
         rad = out["radiance"].reshape(h, w, 3)
         fw = out["filter_weight"].reshape(h, w, 1)
@@ -228,8 +242,11 @@ class Renderer:
             st.accum = sample
         else:
             st.accum = st.accum + sample
-            # Jittered secondary accumulator: first sample always, then
-            # a per-pixel coin flip (RayGenCommon.h:719-727).
+            # Jittered secondary accumulator: first sample/batch always,
+            # then a per-pixel coin flip (RayGenCommon.h:719-727). The
+            # accumulator carries its own weight in alpha, so taking a
+            # whole batch under one coin stays unbiased — just coarser
+            # granularity for the convergence comparison.
             coin = tbrng.uniform(
                 jnp.arange(h * w), jnp.int32(st.spp), 0,
                 tbrng.STREAM_ACCUM_JITTER,
@@ -244,7 +261,7 @@ class Renderer:
              out["neighbor_dist"].reshape(h, w, 1)], axis=-1
         )
         st.world_pos[st.spp % 2] = wp
-        st.spp += 1
+        st.spp += samples
         self._last_aovs = out
 
     # -- RealTime mode (1 spp + TAA + denoise, TracerBoy.cpp:3062-3160) --

@@ -695,6 +695,49 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
     )
 
 
+@partial(jax.jit, static_argnames=("cfg", "k"))
+def render_wave_batch(scene, params, pixel_ids, base_sample, k: int,
+                      cfg: WaveConfig):
+    """Trace k samples per pixel in ONE dispatch (amortizes dispatch
+    latency — significant on remote-attached TPUs). Returns summed
+    (radiance, filter_weight, rays_traced) plus the last sample's AOVs."""
+    N = pixel_ids.shape[0]
+
+    def body(i, carry):
+        rad, fw, rays, aovs = carry
+        out = render_wave(scene, params, pixel_ids, base_sample + i, cfg)
+        new_aovs = {
+            key: out[key]
+            for key in ("albedo", "normal", "world_pos", "depth",
+                        "emissive", "material", "diffuse_contrib",
+                        "neighbor_dist", "heatmap")
+        }
+        return (
+            rad + out["radiance"],
+            fw + out["filter_weight"],
+            rays + out["rays_traced"],
+            new_aovs,
+        )
+
+    zero_aovs = dict(
+        albedo=jnp.zeros((N, 3), jnp.float32),
+        normal=jnp.zeros((N, 3), jnp.float32),
+        world_pos=jnp.zeros((N, 3), jnp.float32),
+        depth=jnp.zeros((N,), jnp.float32),
+        emissive=jnp.zeros((N, 3), jnp.float32),
+        material=jnp.zeros((N,), jnp.int32),
+        diffuse_contrib=jnp.zeros((N,), jnp.float32),
+        neighbor_dist=jnp.zeros((N,), jnp.float32),
+        heatmap=jnp.zeros((N,), jnp.float32),
+    )
+    rad, fw, rays, aovs = jax.lax.fori_loop(
+        0, k, body,
+        (jnp.zeros((N, 3), jnp.float32), jnp.zeros((N,), jnp.float32),
+         jnp.float32(0.0), zero_aovs),
+    )
+    return dict(radiance=rad, filter_weight=fw, rays_traced=rays, **aovs)
+
+
 def _refract_or_reflect(direction, normal, nr, ray_dot_n):
     """Snell refraction with TIR fallback (kernel.glsl:1530-1563).
 
