@@ -15,6 +15,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -55,6 +56,9 @@ def build_parser():
                    help="2x upscale the output")
     p.add_argument("--hdr-out", default=None,
                    help="also write linear radiance (.exr/.hdr/.pfm)")
+    p.add_argument("--capture-every", type=int, default=0, metavar="N",
+                   help="write a numbered PNG every N samples (the 'P'-key "
+                        "recording of the reference)")
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint file to save/resume accumulation")
     p.add_argument("--checkpoint-every", type=int, default=64,
@@ -156,6 +160,13 @@ def main(argv=None):
                 f"convergence={r.convergence_error():.5f}")
             if args.checkpoint and r.state.spp % args.checkpoint_every == 0:
                 save_render_checkpoint(args.checkpoint, r)
+            if (args.capture_every
+                    and r.state.spp % args.capture_every == 0):
+                from tracerboy_tpu.core import image_io as _io
+
+                base, ext = os.path.splitext(args.out)
+                _io.write_png(f"{base}_{r.state.spp:05d}{ext or '.png'}",
+                              r.current_image())
             if (args.time_limit > 0
                     and time.time() - t0 > args.time_limit):
                 log("time limit reached")
