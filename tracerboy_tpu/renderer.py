@@ -167,6 +167,14 @@ class Renderer:
             use_blue_noise=perf.use_blue_noise,
             decouple_albedo=(s.render_mode == RenderMode.REAL_TIME),
             has_env=self.compiled.has_env,
+            has_mix=bool(
+                (np.asarray(self.compiled.materials["flags"]) & 0x8).any()
+            ),
+            has_textures=bool(
+                (np.asarray(self.compiled.materials["albedo_tex"]) >= 0).any()
+                | (np.asarray(self.compiled.materials["emissive_tex"]) >= 0).any()
+                | (np.asarray(self.compiled.materials["specular_tex"]) >= 0).any()
+            ),
             traversal=self.traversal,
         )
 

@@ -34,16 +34,43 @@ def _random_barycentric(r0, r1):
     return jnp.stack([u, v, 1.0 - u - v], axis=-1)
 
 
-def _light_point(lights, idx, bary):
+def _light_rows(lights, idx):
+    """All light columns for `idx` via one one-hot matmul (small table)."""
+    import jax.numpy as _jnp
+
+    from tracerboy_tpu.core.gather import take_rows
+
+    table = _jnp.concatenate(
+        [
+            lights["p0"], lights["p1"], lights["p2"],        # 0:9
+            lights["n0"], lights["n1"], lights["n2"],        # 9:18
+            lights["color"],                                 # 18:21
+            lights["area"][:, None],                         # 21
+            lights["ltype"][:, None].astype(_jnp.float32),   # 22
+            lights["direction"],                             # 23:26
+        ],
+        axis=1,
+    )
+    row = take_rows(table, idx)
+    return dict(
+        p0=row[..., 0:3], p1=row[..., 3:6], p2=row[..., 6:9],
+        n0=row[..., 9:12], n1=row[..., 12:15], n2=row[..., 15:18],
+        color=row[..., 18:21], area=row[..., 21],
+        ltype=jnp.round(row[..., 22]).astype(jnp.int32),
+        direction=row[..., 23:26],
+    )
+
+
+def _light_point(rows, bary):
     p = (
-        lights["p0"][idx] * bary[..., 0:1]
-        + lights["p1"][idx] * bary[..., 1:2]
-        + lights["p2"][idx] * bary[..., 2:3]
+        rows["p0"] * bary[..., 0:1]
+        + rows["p1"] * bary[..., 1:2]
+        + rows["p2"] * bary[..., 2:3]
     )
     n = (
-        lights["n0"][idx] * bary[..., 0:1]
-        + lights["n1"][idx] * bary[..., 1:2]
-        + lights["n2"][idx] * bary[..., 2:3]
+        rows["n0"] * bary[..., 0:1]
+        + rows["n1"] * bary[..., 1:2]
+        + rows["n2"] * bary[..., 2:3]
     )
     return p, n
 
@@ -71,24 +98,24 @@ def sample_one_light(
         return dict(direction=z3, color=z3, pdf=z, normal=z3,
                     attenuation=z, distance=z)
 
-    def finalize(idx, bary, pdf):
-        lp, ln = _light_point(lights, idx, bary)
-        ltype = lights["ltype"][idx]
+    def finalize(rows, bary, pdf):
+        lp, ln = _light_point(rows, bary)
+        ltype = rows["ltype"]
         to_light = lp - position
         dist = jnp.sqrt(jnp.maximum(dot(to_light, to_light), 1e-12))
         direction = to_light / dist[..., None]
         atten = 1.0 / jnp.maximum(dist * dist, 1e-12)
         # Directional lights (LIGHT_TYPE_DIRECTIONAL): fixed direction,
         # unit attenuation, pdf has no area factor.
-        ddir = -lights["direction"][idx]
-        dnorm = lights["direction"][idx]
-        direction = jnp.where((ltype == 1)[..., None], ddir, direction)
-        ln = jnp.where((ltype == 1)[..., None], dnorm, ln)
+        direction = jnp.where(
+            (ltype == 1)[..., None], -rows["direction"], direction
+        )
+        ln = jnp.where((ltype == 1)[..., None], rows["direction"], ln)
         atten = jnp.where(ltype == 1, 1.0, atten)
         dist = jnp.where(ltype == 1, 1e9, dist)
         return dict(
             direction=direction,
-            color=lights["color"][idx],
+            color=rows["color"],
             pdf=pdf,
             normal=ln,
             attenuation=atten,
@@ -102,11 +129,13 @@ def sample_one_light(
         b = tbrng.uniform2(lane_id, sample_index, bounce,
                            tbrng.STREAM_AREA_LIGHT, seed)
         bary = _random_barycentric(b[..., 0], b[..., 1])
-        area = lights["area"][idx]
-        ltype = lights["ltype"][idx]
+        rows = _light_rows(lights, idx)
         pdf = 1.0 / num_lights
-        pdf = jnp.where(ltype == 0, pdf / jnp.maximum(area, 1e-12), pdf)
-        return finalize(idx, bary, pdf)
+        pdf = jnp.where(
+            rows["ltype"] == 0,
+            pdf / jnp.maximum(rows["area"], 1e-12), pdf,
+        )
+        return finalize(rows, bary, pdf)
 
     # --- RIS: 16 candidates, categorical-by-weight selection -------------
     cand_idx = []
@@ -120,13 +149,12 @@ def sample_one_light(
         b = tbrng.uniform2(lane_id, sample_index, bounce,
                            tbrng.STREAM_RIS + 2 * c + 1, seed)
         bary = _random_barycentric(b[..., 0], b[..., 1])
-        lp, _ = _light_point(lights, idx, bary)
+        rows_c = _light_rows(lights, idx)
+        lp, _ = _light_point(rows_c, bary)
         d2 = jnp.maximum(
             jnp.sum((lp - position) ** 2, axis=-1), 1e-6
         )
-        target = (
-            lights["area"][idx] * luminance(lights["color"][idx]) / d2
-        )
+        target = rows_c["area"] * luminance(rows_c["color"]) / d2
         proposal = 1.0 / num_lights
         w = target / (proposal * RIS_CANDIDATES)
         cand_idx.append(idx)
@@ -149,9 +177,10 @@ def sample_one_light(
     sel_idx = idxs[rowsN, pick]
     sel_bary = barys[rowsN, pick]
     sel_target = Tpdf[rowsN, pick]
-    area = jnp.maximum(lights["area"][sel_idx], 1e-12)
+    sel_rows = _light_rows(lights, sel_idx)
+    area = jnp.maximum(sel_rows["area"], 1e-12)
     ris_pdf = sel_target / jnp.maximum(wsum, 1e-12) / area
-    out = finalize(sel_idx, sel_bary, ris_pdf)
+    out = finalize(sel_rows, sel_bary, ris_pdf)
     # Guard degenerate reservoirs (all-zero weights).
     bad = wsum <= 0.0
     out["pdf"] = jnp.where(bad, 0.0, out["pdf"])

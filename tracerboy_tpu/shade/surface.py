@@ -121,6 +121,8 @@ def fetch_material(
     sample_index,
     bounce,
     seed=0,
+    has_mix: bool = True,
+    has_textures: bool = True,
 ):
     """Gather material properties for a wave of hits.
 
@@ -128,64 +130,95 @@ def fetch_material(
     absorption, scattering, specular_coef, flags. Handles: backside
     emissive suppression, stochastic mix resolution, albedo/emissive/
     specular map overrides, and the SSS artist-albedo conversion.
+
+    Small-table lookups run as one-hot MXU matmuls (core/gather.py);
+    `has_mix` / `has_textures` are static flags letting scenes without
+    those features skip the work entirely (set by the caller from
+    compile-time scene facts).
     """
+    from tracerboy_tpu.core.gather import take_rows
+
     mats = scene["materials"]
     M = mats["flags"].shape[0]
     mid = jnp.clip(mat_id, 0, M - 1)
 
-    # Stochastic mix resolution (RayGenCommon.h:308-319): albedo packs
-    # (mat0, mat1, amount); one level, like the reference's non-recursive
-    # second fetch.
-    flags0 = mats["flags"][mid]
-    is_mix = (flags0 & MIX_FLAG) != 0
-    amount = mats["albedo"][mid][..., 2]
-    r = tbrng.uniform(lane_id, sample_index, bounce,
-                      tbrng.STREAM_SPECULAR_SELECT + 32, seed)
-    pick0 = r < amount
-    mix_id = jnp.where(
-        pick0,
-        mats["albedo"][mid][..., 0],
-        mats["albedo"][mid][..., 1],
-    ).astype(jnp.int32)
-    mid = jnp.where(is_mix, jnp.clip(mix_id, 0, M - 1), mid)
+    # Fuse all material columns into one (M, k) table so the whole fetch
+    # is a single one-hot matmul.
+    table = jnp.concatenate(
+        [
+            mats["albedo"],                       # 0:3
+            mats["emissive"],                     # 3:6
+            mats["ior"][:, None],                 # 6
+            mats["roughness"][:, None],           # 7
+            mats["absorption"],                   # 8:11
+            mats["scattering"],                   # 11:14
+            mats["specular_coef"][:, None],       # 14
+            mats["flags"][:, None].astype(jnp.float32),       # 15
+            mats["albedo_tex"][:, None].astype(jnp.float32),  # 16
+            mats["emissive_tex"][:, None].astype(jnp.float32),# 17
+            mats["specular_tex"][:, None].astype(jnp.float32),# 18
+            mats["normal_tex"][:, None].astype(jnp.float32),  # 19
+            mats["alpha_tex"][:, None].astype(jnp.float32),   # 20
+        ],
+        axis=1,
+    )
 
-    flags = mats["flags"][mid]
-    albedo = mats["albedo"][mid]
-    emissive = mats["emissive"][mid]
-    ior = mats["ior"][mid]
-    roughness = mats["roughness"][mid]
-    absorption = mats["absorption"][mid]
-    scattering = mats["scattering"][mid]
-    specular_coef = mats["specular_coef"][mid]
+    if has_mix:
+        # Stochastic mix resolution (RayGenCommon.h:308-319): albedo
+        # packs (mat0, mat1, amount); one level like the reference.
+        row0 = take_rows(table, mid)
+        flags0 = jnp.round(row0[..., 15]).astype(jnp.int32)
+        is_mix = (flags0 & MIX_FLAG) != 0
+        amount = row0[..., 2]
+        r = tbrng.uniform(lane_id, sample_index, bounce,
+                          tbrng.STREAM_SPECULAR_SELECT + 32, seed)
+        mix_id = jnp.where(r < amount, row0[..., 0], row0[..., 1]).astype(
+            jnp.int32
+        )
+        mid = jnp.where(is_mix, jnp.clip(mix_id, 0, M - 1), mid)
+
+    row = take_rows(table, mid)
+    albedo = row[..., 0:3]
+    emissive = row[..., 3:6]
+    ior = row[..., 6]
+    roughness = row[..., 7]
+    absorption = row[..., 8:11]
+    scattering = row[..., 11:14]
+    specular_coef = row[..., 14]
+    flags = jnp.round(row[..., 15]).astype(jnp.int32)
+    albedo_tex = jnp.round(row[..., 16]).astype(jnp.int32)
+    emissive_tex = jnp.round(row[..., 17]).astype(jnp.int32)
+    spec_tex = jnp.round(row[..., 18]).astype(jnp.int32)
+    normal_tex = jnp.round(row[..., 19]).astype(jnp.int32)
+    alpha_tex = jnp.round(row[..., 20]).astype(jnp.int32)
 
     # Emissive is one-sided (PBRT convention; RayGenCommon.h:301-306).
     emissive = jnp.where(backside[..., None], 0.0, emissive)
 
-    recs = scene["tex_records"]
-    imgs = scene["tex_images"]
-    sizes = scene["tex_sizes"]
+    if has_textures:
+        recs = scene["tex_records"]
+        imgs = scene["tex_images"]
+        sizes = scene["tex_sizes"]
 
-    albedo_tex = mats["albedo_tex"][mid]
-    albedo = jnp.where(
-        (albedo_tex >= 0)[..., None],
-        eval_texture(recs, imgs, sizes, albedo_tex, uv),
-        albedo,
-    )
-    emissive_tex = mats["emissive_tex"][mid]
-    emissive = jnp.where(
-        ((emissive_tex >= 0) & ~backside)[..., None],
-        eval_texture(recs, imgs, sizes, emissive_tex, uv),
-        emissive,
-    )
-    # Specular map: g = roughness, b > 0.5 marks metallic
-    # (RayGenCommon.h:330-339).
-    spec_tex = mats["specular_tex"][mid]
-    spec_data = eval_texture(recs, imgs, sizes, spec_tex, uv)
-    has_spec = spec_tex >= 0
-    roughness = jnp.where(has_spec, spec_data[..., 1], roughness)
-    flags = jnp.where(
-        has_spec & (spec_data[..., 2] > 0.5), flags | METALLIC_FLAG, flags
-    )
+        albedo = jnp.where(
+            (albedo_tex >= 0)[..., None],
+            eval_texture(recs, imgs, sizes, albedo_tex, uv),
+            albedo,
+        )
+        emissive = jnp.where(
+            ((emissive_tex >= 0) & ~backside)[..., None],
+            eval_texture(recs, imgs, sizes, emissive_tex, uv),
+            emissive,
+        )
+        # Specular map: g = roughness, b > 0.5 marks metallic
+        # (RayGenCommon.h:330-339).
+        spec_data = eval_texture(recs, imgs, sizes, spec_tex, uv)
+        has_spec = spec_tex >= 0
+        roughness = jnp.where(has_spec, spec_data[..., 1], roughness)
+        flags = jnp.where(
+            has_spec & (spec_data[..., 2] > 0.5),
+            flags | METALLIC_FLAG, flags,
+        )
 
     # SSS artist albedo -> absorption/scattering (kernel.glsl:1236-1247).
     is_sss = (flags & SUBSURFACE_SCATTER_FLAG) != 0
@@ -206,6 +239,6 @@ def fetch_material(
         scattering=scattering,
         specular_coef=specular_coef,
         flags=flags,
-        normal_tex=mats["normal_tex"][mid],
-        alpha_tex=mats["alpha_tex"][mid],
+        normal_tex=normal_tex,
+        alpha_tex=alpha_tex,
     )

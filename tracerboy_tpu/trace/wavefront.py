@@ -135,6 +135,10 @@ class WaveConfig:
     use_blue_noise: bool = True
     decouple_albedo: bool = False   # RealTime mode: first-hit albedo out
     has_env: bool = True
+    # Compile-time scene facts: scenes without mix materials / textures
+    # skip those fetch paths entirely.
+    has_mix: bool = True
+    has_textures: bool = True
     # Traversal backend:
     #  "jnp"    — lock-step masked traversal (portable reference)
     #  "brute"  — exhaustive ray x tri tests; zero gathers, fastest for
@@ -345,7 +349,8 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         ray_dot_n = dot(sh_normal, s["direction"])
         backside = ray_dot_n > 0.0
         mat = fetch_material(
-            scene, mat_id, uv, backside, lane, sample_index, i, seed
+            scene, mat_id, uv, backside, lane, sample_index, i, seed,
+            has_mix=cfg.has_mix, has_textures=cfg.has_textures,
         )
         flags = mat["flags"]
         detail_normal = sh_normal  # normal mapping hook (normal_tex)
