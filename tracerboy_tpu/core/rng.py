@@ -83,26 +83,44 @@ def uniform(lane_id, sample_index, bounce, stream, seed=0):
     lane_id: int32[N] (usually pixel index in the flat pool)
     sample_index / bounce / stream / seed: scalars or int32[N].
     """
-    lane_id = _u32(lane_id)
-    mixed = _u32(sample_index) * np.uint32(9781) + _u32(seed) * np.uint32(6271)
-    key = jnp.broadcast_to(mixed, lane_id.shape).astype(jnp.uint32)
-    sb = _u32(bounce) * np.uint32(NUM_STREAMS) + _u32(stream)
-    sb = jnp.broadcast_to(sb, lane_id.shape).astype(jnp.uint32)
-    h = pcg3d(jnp.stack([lane_id, key, sb], axis=-1))
-    return u32_to_unit_float(h[..., 0])
+    return uniform2_soa(lane_id, sample_index, bounce, stream, seed)[0]
 
 
 def uniform2(lane_id, sample_index, bounce, stream, seed=0):
     """Two decorrelated uniforms per lane, shape (N, 2)."""
+    u, v = uniform2_soa(lane_id, sample_index, bounce, stream, seed)
+    return jnp.stack([u, v], axis=-1)
+
+
+def _pcg3d_soa(x, y, z):
+    """PCG3D on separate component arrays (dense (N,) layout — the
+    stacked variant pads 3 lanes to 128 on TPU)."""
+    c1 = np.uint32(1664525)
+    c2 = np.uint32(1013904223)
+    x = x * c1 + c2
+    y = y * c1 + c2
+    z = z * c1 + c2
+    x = x + y * z
+    y = y + z * x
+    z = z + x * y
+    x = x ^ (x >> 16)
+    y = y ^ (y >> 16)
+    z = z ^ (z >> 16)
+    x = x + y * z
+    y = y + z * x
+    z = z + x * y
+    return x, y, z
+
+
+def uniform2_soa(lane_id, sample_index, bounce, stream, seed=0):
+    """Two decorrelated uniforms per lane as separate (N,) arrays."""
     lane_id = _u32(lane_id)
     mixed = _u32(sample_index) * np.uint32(9781) + _u32(seed) * np.uint32(6271)
     key = jnp.broadcast_to(mixed, lane_id.shape).astype(jnp.uint32)
     sb = _u32(bounce) * np.uint32(NUM_STREAMS) + _u32(stream)
     sb = jnp.broadcast_to(sb, lane_id.shape).astype(jnp.uint32)
-    h = pcg3d(jnp.stack([lane_id, key, sb], axis=-1))
-    return jnp.stack(
-        [u32_to_unit_float(h[..., 0]), u32_to_unit_float(h[..., 1])], axis=-1
-    )
+    hx, hy, _ = _pcg3d_soa(lane_id, key, sb)
+    return u32_to_unit_float(hx), u32_to_unit_float(hy)
 
 
 # ----------------------------------------------------------------------------

@@ -103,8 +103,29 @@ class CompiledScene:
         if pack_pallas:
             extra = self.pallas_pack()
 
+        # SoA-layout companions (see core/vec3.py): fused triangle data,
+        # flattened texture channels — all minor-dim-dense on TPU.
+        tri9 = np.concatenate(
+            [self.tri_v0, self.tri_v1, self.tri_v2], axis=1
+        ).astype(np.float32)
+        tri_attr_t = np.concatenate(
+            [
+                self.tri_n0.T, self.tri_n1.T, self.tri_n2.T,   # 0:9
+                self.tri_uv0.T, self.tri_uv1.T, self.tri_uv2.T,  # 9:15
+                self.tri_material[None, :].astype(np.float32),   # 15
+            ],
+            axis=0,
+        ).astype(np.float32)
+        env_flat = self.env_map.reshape(-1, 3).astype(np.float32)
+
         return dict(
             **extra,
+            tri9=j(tri9),
+            tri_attr_t=j(tri_attr_t),
+            env_r=j(env_flat[:, 0]), env_g=j(env_flat[:, 1]),
+            env_b=j(env_flat[:, 2]),
+            blue0_t=j(self.blue_noise0.reshape(-1, 4).T.copy()),
+            blue1_t=j(self.blue_noise1.reshape(-1, 4).T.copy()),
             world_lo=j(
                 np.minimum(
                     np.minimum(self.tri_v0, self.tri_v1), self.tri_v2

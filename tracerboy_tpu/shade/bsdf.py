@@ -137,6 +137,134 @@ def specular_weight(prev_dir, new_dir, normal, detail_normal, roughness):
     return d / denom
 
 
+# ----------------------------------------------------------------------------
+# SoA variants (V3 = tuples of dense (N,) components, core/vec3.py).
+
+
+def sample_cosine_hemisphere_soa(normal, r0, r1):
+    """Cosine-weighted direction about V3 `normal`; returns (V3, pdf)."""
+    from tracerboy_tpu.core import vec3 as v3
+
+    r = jnp.sqrt(r0)
+    theta = 2.0 * PI * r1
+    lx = r * jnp.cos(theta)
+    ly = jnp.sqrt(jnp.maximum(EPSILON, 1.0 - r0))
+    lz = r * jnp.sin(theta)
+    pdf = ly / PI
+    return v3.reorient(v3.V3(lx, ly, lz), normal), pdf
+
+
+def sample_ggx_reflection_soa(incoming, normal, roughness, r0, r1):
+    """GGX microfacet sample + reflect, SoA (kernel.glsl:1066-1083)."""
+    from tracerboy_tpu.core import vec3 as v3
+
+    rough = jnp.maximum(MIN_ROUGHNESS, roughness)
+    a2 = (rough * rough) ** 2
+    theta = 2.0 * PI * r1
+    cos_phi = jnp.sqrt(
+        jnp.clip((1.0 - r0) / ((a2 - 1.0) * r0 + 1.0), 0.0, 1.0)
+    )
+    sin_phi = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_phi * cos_phi))
+    local = v3.V3(sin_phi * jnp.cos(theta), cos_phi, sin_phi * jnp.sin(theta))
+    m = v3.reorient(local, normal)
+    return v3.reflect(incoming, m)
+
+
+def ggx_reflection_pdf_soa(normal, outgoing, half, roughness):
+    from tracerboy_tpu.core import vec3 as v3
+
+    rough = jnp.maximum(MIN_ROUGHNESS, roughness)
+    a2 = (rough * rough) ** 2
+    cos_t = jnp.abs(v3.dot(normal, half))
+    e = (a2 - 1.0) * cos_t * cos_t + 1.0
+    d = a2 / (PI * e * e)
+    pdf = d * cos_t / (
+        4.0 * jnp.maximum(jnp.abs(v3.dot(outgoing, half)), 1e-8)
+    )
+    return jnp.where(e > 0.0, pdf, LARGE_NUMBER)
+
+
+def half_vector_safe_soa(a, b, normal):
+    from tracerboy_tpu.core import vec3 as v3
+
+    opposite = v3.dot(a, b) <= (-1.0 + EPSILON)
+    return v3.where(opposite, normal, v3.normalize(a + b))
+
+
+def diffuse_brdf_soa(light_dir, normal):
+    from tracerboy_tpu.core import vec3 as v3
+
+    return jnp.maximum(v3.dot(light_dir, normal), 0.0) / PI
+
+
+def ggx_ndf_soa(normal, half, roughness_squared):
+    from tracerboy_tpu.core import vec3 as v3
+
+    a2sq = jnp.maximum(roughness_squared, MIN_ROUGHNESS_SQUARED)
+    a2 = a2sq * a2sq
+    ndoth = v3.dot(normal, half)
+    denom = PI * jnp.square(ndoth * ndoth * (a2 - 1.0) + 1.0)
+    return a2 / jnp.maximum(denom, 1e-12)
+
+
+def specular_weight_soa(prev_dir, new_dir, normal, detail_normal, roughness):
+    from tracerboy_tpu.core import vec3 as v3
+
+    half = half_vector_safe_soa(-prev_dir, new_dir, normal)
+    rough_sq = jnp.maximum(roughness * roughness, MIN_ROUGHNESS_SQUARED)
+    d = ggx_ndf_soa(detail_normal, half, rough_sq)
+    denom = (
+        4.0 * jnp.maximum(jnp.abs(v3.dot(-prev_dir, half)), 1e-8)
+        * jnp.maximum(
+            jnp.maximum(jnp.abs(v3.dot(-prev_dir, normal)),
+                        jnp.abs(v3.dot(new_dir, normal))), 1e-8,
+        )
+    )
+    return d / denom
+
+
+def sample_uniform_sphere_soa(r0, r1):
+    from tracerboy_tpu.core import vec3 as v3
+
+    z = 1.0 - 2.0 * r0
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    theta = 2.0 * PI * r1
+    return v3.V3(r * jnp.cos(theta), z, r * jnp.sin(theta))
+
+
+def refract_or_reflect_soa(direction, normal, nr, ray_dot_n):
+    """Snell with TIR fallback, SoA (kernel.glsl:1530-1563)."""
+    from tracerboy_tpu.core import vec3 as v3
+
+    disc = 1.0 - nr * nr * (1.0 - ray_dot_n * ray_dot_n)
+    tir = disc <= EPSILON
+    root = jnp.sqrt(jnp.maximum(disc, 0.0))
+    refr = v3.normalize(
+        v3.V3(
+            nr * (direction.x - normal.x * ray_dot_n) - normal.x * root,
+            nr * (direction.y - normal.y * ray_dot_n) - normal.y * root,
+            nr * (direction.z - normal.z * ray_dot_n) - normal.z * root,
+        )
+    )
+    return v3.where(tir, v3.reflect(direction, normal), refr), tir
+
+
+def artist_albedo_to_absorption_soa(color, mfp):
+    """Burley SSS parameterization on V3s; returns (absorption, scattering)."""
+    from tracerboy_tpu.core import vec3 as v3
+
+    def one(c, m):
+        alpha = 1.0 - jnp.exp(-5.09406 * c + 2.61188 * c * c - 4.31805 * c**3)
+        s = 1.9 - c + 3.5 * (c - 0.8) * (c - 0.8)
+        trans = 1.0 / jnp.maximum(s * m, 1e-8)
+        return trans - trans * alpha, trans * alpha
+
+    ax, sx = one(color.x, mfp.x)
+    ay, sy = one(color.y, mfp.y)
+    az, sz = one(color.z, mfp.z)
+    return v3.V3(ax, ay, az), v3.V3(sx, sy, sz)
+
+
 def artist_albedo_to_absorption(color, mfp):
     """Burley's practical subsurface parameterization
     (kernel.glsl:1224-1234). Returns (absorption, scattering)."""

@@ -50,3 +50,53 @@ def sample_environment(direction, env_map, env_transform, env_color_scale):
         + c11 * tx * ty
     )
     return col * env_color_scale
+
+
+def sample_environment_soa(d, env_r, env_g, env_b, env_h: int, env_w: int,
+                           env_transform, env_color_scale):
+    """SoA environment lookup: V3 directions -> V3 radiance.
+
+    env_r/g/b: flattened (H*W,) channel arrays (dense gathers instead of
+    (N, 3) padded results).
+    """
+    from tracerboy_tpu.core import vec3 as v3
+
+    m = env_transform
+    vx = d.x * m[0, 0] + d.y * m[0, 1] + d.z * m[0, 2]
+    vy = d.x * m[1, 0] + d.y * m[1, 1] + d.z * m[1, 2]
+    vz = d.x * m[2, 0] + d.y * m[2, 1] + d.z * m[2, 2]
+    vv = v3.normalize(v3.V3(vx, vy, vz))
+
+    p = jnp.arctan2(vv.y, vv.x)
+    p = jnp.where(p > 0, p, p + 2.0 * jnp.pi)
+    u = p / (2.0 * jnp.pi)
+    w = jnp.arccos(jnp.clip(vv.z, -1.0, 1.0)) / jnp.pi
+
+    H, W = env_h, env_w
+    fx = u * W - 0.5
+    fy = w * H - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    tx = fx - x0
+    ty = fy - y0
+    x0w = jnp.mod(x0, W)
+    x1w = jnp.mod(x0 + 1, W)
+    y0c = jnp.clip(y0, 0, H - 1)
+    y1c = jnp.clip(y0 + 1, 0, H - 1)
+    i00 = y0c * W + x0w
+    i01 = y0c * W + x1w
+    i10 = y1c * W + x0w
+    i11 = y1c * W + x1w
+    w00 = (1 - tx) * (1 - ty)
+    w01 = tx * (1 - ty)
+    w10 = (1 - tx) * ty
+    w11 = tx * ty
+
+    def chan(c):
+        return (c[i00] * w00 + c[i01] * w01 + c[i10] * w10 + c[i11] * w11)
+
+    return v3.V3(
+        chan(env_r) * env_color_scale[0],
+        chan(env_g) * env_color_scale[1],
+        chan(env_b) * env_color_scale[2],
+    )

@@ -112,6 +112,135 @@ def eval_texture(recs, tex_images, tex_sizes, tex_id, uv):
     return jnp.where((ttype == TEX_SCALE)[..., None], scale, base)
 
 
+def _take_cols(table_t, idx):
+    """Transposed one-hot lookup: (k, M) table x (N,) idx -> (k, N).
+
+    Keeps the result's minor dim = N (dense lanes); each row slices out
+    as a clean (N,) component.
+    """
+    M = table_t.shape[1]
+    iota = jnp.arange(M, dtype=idx.dtype)
+    onehot = (iota[:, None] == idx[None, :]).astype(jnp.float32)  # (M, N)
+    return jnp.dot(table_t, onehot, preferred_element_type=jnp.float32)
+
+
+def _mat_table_t(mats) -> jnp.ndarray:
+    """(21, M) fused material table (columns documented in fetch_material)."""
+    return jnp.concatenate(
+        [
+            mats["albedo"].T,                      # 0:3
+            mats["emissive"].T,                    # 3:6
+            mats["ior"][None, :],                  # 6
+            mats["roughness"][None, :],            # 7
+            mats["absorption"].T,                  # 8:11
+            mats["scattering"].T,                  # 11:14
+            mats["specular_coef"][None, :],        # 14
+            mats["flags"][None, :].astype(jnp.float32),        # 15
+            mats["albedo_tex"][None, :].astype(jnp.float32),   # 16
+            mats["emissive_tex"][None, :].astype(jnp.float32), # 17
+            mats["specular_tex"][None, :].astype(jnp.float32), # 18
+            mats["normal_tex"][None, :].astype(jnp.float32),   # 19
+            mats["alpha_tex"][None, :].astype(jnp.float32),    # 20
+        ],
+        axis=0,
+    )
+
+
+def fetch_material_soa(
+    scene,
+    mat_id,
+    uv_u,
+    uv_v,
+    backside,
+    lane_id,
+    sample_index,
+    bounce,
+    seed=0,
+    has_mix: bool = True,
+    has_textures: bool = True,
+):
+    """SoA material fetch: V3 fields + (N,) scalars, dense layouts.
+
+    Same semantics as fetch_material (mix resolution, texture overrides,
+    SSS conversion); the whole record comes from one (21, M) x (M, N)
+    matmul.
+    """
+    from tracerboy_tpu.core import vec3 as v3
+    from tracerboy_tpu.shade.bsdf import artist_albedo_to_absorption_soa
+
+    mats = scene["materials"]
+    M = mats["flags"].shape[0]
+    mid = jnp.clip(mat_id, 0, M - 1)
+    table_t = _mat_table_t(mats)
+
+    if has_mix:
+        row0 = _take_cols(table_t, mid)
+        flags0 = jnp.round(row0[15]).astype(jnp.int32)
+        is_mix = (flags0 & MIX_FLAG) != 0
+        r = tbrng.uniform(lane_id, sample_index, bounce,
+                          tbrng.STREAM_SPECULAR_SELECT + 32, seed)
+        mix_id = jnp.where(r < row0[2], row0[0], row0[1]).astype(jnp.int32)
+        mid = jnp.where(is_mix, jnp.clip(mix_id, 0, M - 1), mid)
+
+    row = _take_cols(table_t, mid)
+    albedo = v3.V3(row[0], row[1], row[2])
+    emissive = v3.V3(row[3], row[4], row[5])
+    ior = row[6]
+    roughness = row[7]
+    absorption = v3.V3(row[8], row[9], row[10])
+    scattering = v3.V3(row[11], row[12], row[13])
+    specular_coef = row[14]
+    flags = jnp.round(row[15]).astype(jnp.int32)
+    albedo_tex = jnp.round(row[16]).astype(jnp.int32)
+    emissive_tex = jnp.round(row[17]).astype(jnp.int32)
+    spec_tex = jnp.round(row[18]).astype(jnp.int32)
+
+    zero = jnp.zeros_like(ior)
+    emissive = v3.where(backside, v3.V3(zero, zero, zero), emissive)
+
+    if has_textures:
+        recs = scene["tex_records"]
+        imgs = scene["tex_images"]
+        sizes = scene["tex_sizes"]
+        uv = jnp.stack([uv_u, uv_v], axis=-1)
+        alb_t = eval_texture(recs, imgs, sizes, albedo_tex, uv)
+        albedo = v3.where(
+            albedo_tex >= 0,
+            v3.V3(alb_t[..., 0], alb_t[..., 1], alb_t[..., 2]), albedo,
+        )
+        emi_t = eval_texture(recs, imgs, sizes, emissive_tex, uv)
+        emissive = v3.where(
+            (emissive_tex >= 0) & ~backside,
+            v3.V3(emi_t[..., 0], emi_t[..., 1], emi_t[..., 2]), emissive,
+        )
+        spec_data = eval_texture(recs, imgs, sizes, spec_tex, uv)
+        has_spec = spec_tex >= 0
+        roughness = jnp.where(has_spec, spec_data[..., 1], roughness)
+        flags = jnp.where(
+            has_spec & (spec_data[..., 2] > 0.5),
+            flags | METALLIC_FLAG, flags,
+        )
+
+    is_sss = (flags & SUBSURFACE_SCATTER_FLAG) != 0
+    has_albedo = (albedo.x > 0) | (albedo.y > 0) | (albedo.z > 0)
+    conv = is_sss & has_albedo
+    mfp = v3.V3(
+        1.0 / jnp.maximum(scattering.x, 1e-8),
+        1.0 / jnp.maximum(scattering.y, 1e-8),
+        1.0 / jnp.maximum(scattering.z, 1e-8),
+    )
+    conv_abs, conv_scat = artist_albedo_to_absorption_soa(albedo, mfp)
+    absorption = v3.where(conv, conv_abs, absorption)
+    scattering = v3.where(conv, conv_scat, scattering)
+    albedo = v3.where(conv, v3.V3(zero, zero, zero), albedo)
+
+    return dict(
+        albedo=albedo, emissive=emissive, ior=ior, roughness=roughness,
+        absorption=absorption, scattering=scattering,
+        specular_coef=specular_coef, flags=flags,
+    )
+
+
 def fetch_material(
     scene,
     mat_id,

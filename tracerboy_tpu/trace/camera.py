@@ -135,3 +135,70 @@ def generate_primary_rays(
         direction = jnp.where(use, new_dir, direction)
 
     return origin, direction
+
+
+def generate_primary_rays_soa(
+    cam: dict,
+    width: int,
+    height: int,
+    pixel_ids,
+    jit_u,
+    jit_v,
+    dof_focus_distance=0.0,
+    dof_aperture_width=0.0,
+    dof_u=None,
+    dof_v=None,
+    filter_width: float = 1.0,
+):
+    """SoA primary rays: (N,)-component V3 origins/directions.
+
+    Same camera model as generate_primary_rays, with every vector kept as
+    dense (N,) components (TPU layout — see core/vec3.py).
+    """
+    from tracerboy_tpu.core import vec3 as v3
+
+    px = (pixel_ids % width).astype(jnp.float32)
+    py = (pixel_ids // width).astype(jnp.float32)
+    u = (px + 0.5 + (jit_u - 0.5) * filter_width) / width
+    v = (py + 0.5 + (jit_v - 0.5) * filter_width) / height
+    v = 1.0 - v
+
+    aspect = width / height
+    pos = v3.V3(cam["position"][0], cam["position"][1], cam["position"][2])
+    look = v3.V3(cam["look_at"][0], cam["look_at"][1], cam["look_at"][2])
+    right = v3.V3(cam["right"][0], cam["right"][1], cam["right"][2])
+    up = v3.V3(cam["up"][0], cam["up"][1], cam["up"][2])
+    forward = v3.normalize(look - pos)
+    lens_w = cam["lens_height"] * aspect
+    su = (u * 2.0 - 1.0) * lens_w / 2.0
+    sv = (v * 2.0 - 1.0) * cam["lens_height"] / 2.0
+    lens_point = v3.V3(
+        pos.x + right.x * su + up.x * sv,
+        pos.y + right.y * su + up.y * sv,
+        pos.z + right.z * su + up.z * sv,
+    )
+    fx = pos.x - cam["focal_distance"] * forward.x
+    fy = pos.y - cam["focal_distance"] * forward.y
+    fz = pos.z - cam["focal_distance"] * forward.z
+    origin = v3.V3(
+        jnp.broadcast_to(fx, u.shape), jnp.broadcast_to(fy, u.shape),
+        jnp.broadcast_to(fz, u.shape),
+    )
+    direction = v3.normalize(lens_point - origin)
+
+    if dof_u is not None:
+        use = dof_focus_distance > 0.0
+        focus = origin + direction * dof_focus_distance
+        r = jnp.sqrt(dof_u) * dof_aperture_width
+        theta = dof_v * 2.0 * jnp.pi
+        cr = jnp.cos(theta) * r
+        sr = jnp.sin(theta) * r
+        new_o = v3.V3(
+            origin.x + right.x * cr + up.x * sr,
+            origin.y + right.y * cr + up.y * sr,
+            origin.z + right.z * cr + up.z * sr,
+        )
+        new_d = v3.normalize(focus - new_o)
+        origin = v3.where(use, new_o, origin)
+        direction = v3.where(use, new_d, direction)
+    return origin, direction

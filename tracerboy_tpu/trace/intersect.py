@@ -14,6 +14,7 @@ jnp over flat ray pools: a (N,)-ray x (T,)-triangle test broadcasts to
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from tracerboy_tpu.core.mathutil import cross, dot
@@ -95,3 +96,112 @@ def brute_force_anyhit(orig, direc, v0, v1, v2, t_max):
         t_max=t_max[:, None],
     )
     return jnp.any(hit, axis=1)
+
+
+# ----------------------------------------------------------------------------
+# SoA variants: dense (N,) layouts, per-triangle scalar broadcasting.
+# The (N, T) broadcast forms above pad their minor dims to 128 lanes on
+# TPU; these loop over triangles with scalar vertex loads instead, keeping
+# every array a fully-tiled (N,) vector.
+
+
+def _tri_scalar(tris, i):
+    """Nine scalar vertex components of triangle i from a (T, 9) array
+    laid out [v0 v1 v2] xyz."""
+    row = jax.lax.dynamic_slice(tris, (i, 0), (1, 9))[0]
+    return row
+
+
+def brute_force_closest_soa(o, d, tris, t_max=None):
+    """Closest hit over all triangles, SoA rays.
+
+    o, d: V3 of (N,); tris: (T, 9) float32 [v0.xyz v1.xyz v2.xyz].
+    Returns (t (N,), tri (N,), u, v).
+    """
+    import jax
+
+    N = o.x.shape[0]
+    T = tris.shape[0]
+
+    def body(i, carry):
+        t_best, tri_best, u_best, v_best = carry
+        r = _tri_scalar(tris, i)
+        v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z = (
+            r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7], r[8]
+        )
+        e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+        e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+        px = d.y * e2z - d.z * e2y
+        py = d.z * e2x - d.x * e2z
+        pz = d.x * e2y - d.y * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv_det = jnp.where(jnp.abs(det) > TRI_EPS, 1.0 / det, 0.0)
+        tvx, tvy, tvz = o.x - v0x, o.y - v0y, o.z - v0z
+        uu = (tvx * px + tvy * py + tvz * pz) * inv_det
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        vv = (d.x * qx + d.y * qy + d.z * qz) * inv_det
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok = (
+            (jnp.abs(det) > TRI_EPS)
+            & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+            & (tt > 1e-5) & (tt < t_best)
+        )
+        return (
+            jnp.where(ok, tt, t_best),
+            jnp.where(ok, i, tri_best),
+            jnp.where(ok, uu, u_best),
+            jnp.where(ok, vv, v_best),
+        )
+
+    # Tie carries to ray data so their device-varying type is stable
+    # across iterations under shard_map.
+    vz = (o.x + d.x) * 0.0
+    init_t = (jnp.full((N,), BIG) + vz if t_max is None
+              else jnp.asarray(t_max, jnp.float32) + vz)
+    t, tri, u, v = jax.lax.fori_loop(
+        0, T, body,
+        (init_t, jnp.full((N,), -1, jnp.int32) + vz.astype(jnp.int32),
+         vz, vz),
+    )
+    return jnp.where(tri < 0, BIG, t), tri, u, v
+
+
+def brute_force_anyhit_soa(o, d, tris, t_max, tri_opaque=None):
+    """Occlusion over all triangles, SoA rays; optional per-tri opacity."""
+    import jax
+
+    N = o.x.shape[0]
+    T = tris.shape[0]
+
+    def body(i, occluded):
+        r = _tri_scalar(tris, i)
+        v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z = (
+            r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7], r[8]
+        )
+        e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+        e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+        px = d.y * e2z - d.z * e2y
+        py = d.z * e2x - d.x * e2z
+        pz = d.x * e2y - d.y * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv_det = jnp.where(jnp.abs(det) > TRI_EPS, 1.0 / det, 0.0)
+        tvx, tvy, tvz = o.x - v0x, o.y - v0y, o.z - v0z
+        uu = (tvx * px + tvy * py + tvz * pz) * inv_det
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        vv = (d.x * qx + d.y * qy + d.z * qz) * inv_det
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok = (
+            (jnp.abs(det) > TRI_EPS)
+            & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+            & (tt > 1e-5) & (tt < t_max)
+        )
+        if tri_opaque is not None:
+            ok = ok & (tri_opaque[i] > 0)
+        return occluded | ok
+
+    vz = (o.x + d.x + t_max) * 0.0
+    return jax.lax.fori_loop(0, T, body, vz != 0.0)

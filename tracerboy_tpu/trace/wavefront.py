@@ -189,76 +189,139 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
     params: dict(dof_focus, dof_aperture, firefly_clamp, seed) traced.
     pixel_ids: (N,) int32 flat pixel indices.
     sample_index: traced int32 (global sample/frame counter).
+
+    Internally everything runs in structure-of-arrays form (core/vec3.py):
+    TPU tiles the minor array dim to 128 lanes, so (N, 3) vector state
+    would waste 42x memory traffic and VPU lanes — measured as the
+    dominant cost of the first (array-of-structs) implementation. Vectors
+    are V3 tuples of dense (N,) components; (N, 3) appears only at the
+    output boundary.
     """
+    from tracerboy_tpu.core import vec3 as v3
+    from tracerboy_tpu.core.vec3 import V3
+    from tracerboy_tpu.shade.bsdf import (
+        diffuse_brdf_soa,
+        ggx_reflection_pdf_soa,
+        half_vector_safe_soa,
+        refract_or_reflect_soa,
+        sample_cosine_hemisphere_soa,
+        sample_ggx_reflection_soa,
+        sample_uniform_sphere_soa,
+        sample_uniform_sphere_soa as _sph,
+        specular_weight_soa,
+    )
+    from tracerboy_tpu.shade.env import sample_environment_soa
+    from tracerboy_tpu.shade.nee import sample_one_light_soa
+    from tracerboy_tpu.shade.surface import fetch_material_soa
+    from tracerboy_tpu.trace.camera import generate_primary_rays_soa
+    from tracerboy_tpu.trace.intersect import (
+        brute_force_anyhit_soa,
+        brute_force_closest_soa,
+    )
+
     N = pixel_ids.shape[0]
     lane = pixel_ids
     seed = params.get("seed", 0)
     px = pixel_ids % cfg.width
     py = pixel_ids // cfg.width
-
-    # --- primary rays (kernel.glsl:1805-1903) ---------------------------
-    jitter = _blue_or_hash2(
-        scene, px, py, lane, sample_index, 0,
-        tbrng.STREAM_PRIMARY_JITTER, cfg, seed,
-    )
-    fixed = params.get("fixed_pixel_offset")
-    if fixed is not None:
-        jitter = jnp.broadcast_to(fixed, jitter.shape)
-    fw = eval_filter_weight(jitter, cfg.filter_type, cfg.filter_width)
-    dof_jitter = _blue_or_hash2(
-        scene, px, py, lane, sample_index, 0, tbrng.STREAM_DOF, cfg, seed
-    )
-    origin, direction = generate_primary_rays(
-        scene["camera"], cfg.width, cfg.height, pixel_ids, jitter,
-        dof_focus_distance=params.get("dof_focus", 0.0),
-        dof_aperture_width=params.get("dof_aperture", 0.0),
-        dof_jitter=dof_jitter,
-        filter_width=cfg.filter_width,
-    )
-
-    # Neighbor ray for the TAA world-position validity metric
-    # (RayGenCommon.h:690-711): distance between this and the adjacent
-    # pixel's hit points at equal depth.
-    n_origin, n_direction = generate_primary_rays(
-        scene["camera"], cfg.width, cfg.height, pixel_ids + 1, jitter,
-        filter_width=cfg.filter_width,
-    )
-
-    # Per-lane zero tied to the (possibly device-sharded) pixel pool so
-    # every loop carry keeps a consistent sharding type under shard_map.
     vz = (
         pixel_ids.astype(jnp.float32)
         + jnp.asarray(sample_index, jnp.float32)
     ) * 0.0
-    zero3 = jnp.zeros((N, 3), jnp.float32) + vz[:, None]
+    zero = vz
+    one = vz + 1.0
+    vzero3 = V3(zero, zero, zero)
+
+    # --- sample streams --------------------------------------------------
+    def hash2(bounce, stream):
+        return tbrng.uniform2_soa(lane, sample_index, bounce, stream, seed)
+
+    bn_idx = (py % 256) * 256 + (px % 256)
+
+    def blue2(table_t, c):
+        """Blue-noise pair from flattened channel rows + CP rotation."""
+        u = table_t[c][bn_idx]
+        v = table_t[c + 1][bn_idx]
+        shift = tbrng.halton23(jnp.asarray(sample_index))
+        return jnp.mod(u + shift[0], 1.0), jnp.mod(v + shift[1], 1.0)
+
+    if cfg.use_blue_noise:
+        jit_u, jit_v = blue2(scene["blue0_t"], 0)
+        dof_u, dof_v = blue2(scene["blue1_t"], 2)
+        blue_dir = blue2(scene["blue0_t"], 2)
+    else:
+        jit_u, jit_v = hash2(0, tbrng.STREAM_PRIMARY_JITTER)
+        dof_u, dof_v = hash2(0, tbrng.STREAM_DOF)
+        blue_dir = hash2(0, tbrng.STREAM_SECONDARY_DIR)
+
+    fixed = params.get("fixed_pixel_offset")
+    if fixed is not None:
+        jit_u = jnp.broadcast_to(fixed[0], jit_u.shape)
+        jit_v = jnp.broadcast_to(fixed[1], jit_v.shape)
+
+    # Pixel filter weight (kernel.glsl:1843-1868).
+    off_u = (jit_u - 0.5) * cfg.filter_width
+    off_v = (jit_v - 0.5) * cfg.filter_width
+    if cfg.filter_type == 1:      # triangle
+        fw = jnp.maximum(
+            jnp.maximum(0.5 - jnp.abs(off_u), 0.5 - jnp.abs(off_v)), 0.0
+        )
+    elif cfg.filter_type == 2:    # gaussian
+        sigma = 0.8
+        edge = jnp.exp(-0.5 / (sigma * sigma))
+        gu = jnp.maximum(0.0, jnp.exp(-0.5 * (2 * off_u / sigma) ** 2) - edge)
+        gv = jnp.maximum(0.0, jnp.exp(-0.5 * (2 * off_v / sigma) ** 2) - edge)
+        fw = gu * gv
+    else:
+        fw = one
+
+    origin, direction = generate_primary_rays_soa(
+        scene["camera"], cfg.width, cfg.height, pixel_ids, jit_u, jit_v,
+        dof_focus_distance=params.get("dof_focus", 0.0),
+        dof_aperture_width=params.get("dof_aperture", 0.0),
+        dof_u=dof_u, dof_v=dof_v,
+        filter_width=cfg.filter_width,
+    )
+    n_origin, n_direction = generate_primary_rays_soa(
+        scene["camera"], cfg.width, cfg.height, pixel_ids + 1, jit_u, jit_v,
+        filter_width=cfg.filter_width,
+    )
+
+    env_h, env_w = scene["env_map"].shape[0], scene["env_map"].shape[1]
+    T_padded = scene["tri9"].shape[0]
+    use_onehot_attrs = T_padded <= 256
+
+    def tri_attrs(tric):
+        """Per-hit triangle attributes from the fused (16, Tp) table."""
+        tbl = scene["tri_attr_t"]
+        if use_onehot_attrs:
+            from tracerboy_tpu.shade.surface import _take_cols
+
+            return _take_cols(tbl, tric)
+        return jnp.stack([tbl[j][tric] for j in range(16)], axis=0)
+
     state = dict(
         origin=origin,
         direction=direction,
-        throughput=jnp.ones((N, 3), jnp.float32) + vz[:, None],
-        radiance=zero3,
-        # Adaptive sampling: converged pixels are masked off up front
-        # (VarianceUtil.h ShouldSkipRay semantics, driven by the caller).
+        throughput=V3(one, one, one),
+        radiance=vzero3,
         alive=(vz == 0.0) if params.get("active_mask") is None
         else (params["active_mask"] & (vz == 0.0)),
         prev_perfect_specular=vz != 0.0,
         inside=vz != 0.0,
-        med_absorption=zero3,
-        med_scattering=zero3,
-        med_ior=jnp.ones((N,), jnp.float32) + vz,
-        # AOVs (written on the first hit)
-        aov_albedo=zero3,
-        aov_normal=zero3,
-        aov_world_pos=zero3,
-        aov_emissive=zero3,
-        aov_depth=vz,
+        med_absorption=vzero3,
+        med_scattering=vzero3,
+        med_ior=one,
+        aov_albedo=vzero3,
+        aov_normal=vzero3,
+        aov_world_pos=vzero3,
+        aov_emissive=vzero3,
+        aov_depth=zero,
         aov_material=jnp.full((N,), -1, jnp.int32) + vz.astype(jnp.int32),
-        aov_diffuse_contrib=jnp.ones((N,), jnp.float32) + vz,
-        aov_neighbor_dist=vz,
-        aov_heatmap=vz,
+        aov_diffuse_contrib=one,
+        aov_neighbor_dist=zero,
+        aov_heatmap=zero,
         viz_rays=jnp.zeros((cfg.max_bounces, 8), jnp.float32) + jnp.sum(vz),
-        # Stats: total rays traced (primary+bounce+shadow) and live-lane
-        # counts — the analog of the reference's wave/pixel atomics
-        # (RaytraceCS.hlsl:59-65).
         rays_traced=jnp.sum(vz),
         live_end=jnp.sum(vz),
     )
@@ -268,46 +331,36 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
 
         # --- russian roulette (kernel.glsl:1288-1301) -------------------
         if cfg.use_russian_roulette:
-            p = jnp.max(s["throughput"], axis=-1)
-            p = jnp.clip(p, EPSILON, 1.0)
+            p = jnp.clip(v3.max_c(s["throughput"]), EPSILON, 1.0)
             r = tbrng.uniform(lane, sample_index, i,
                               tbrng.STREAM_RUSSIAN_ROULETTE, seed)
             do_rr = alive & (i >= MIN_BOUNCES_BEFORE_RR)
             killed = do_rr & (r >= p)
             alive = alive & ~killed
-            s["throughput"] = jnp.where(
-                do_rr[..., None] & ~killed[..., None],
-                s["throughput"] / p[..., None],
-                s["throughput"],
-            )
+            scale = jnp.where(do_rr & ~killed, 1.0 / p, 1.0)
+            s["throughput"] = s["throughput"] * scale
 
-        # Early-out for negligible throughput (kernel.glsl:1318-1325).
-        alive = alive & jnp.any(s["throughput"] >= EPSILON, axis=-1)
-
-        s["rays_traced"] = s["rays_traced"] + jnp.sum(alive.astype(jnp.float32))
+        alive = alive & v3.any_gt(s["throughput"], EPSILON)
+        s["rays_traced"] = s["rays_traced"] + jnp.sum(
+            alive.astype(jnp.float32)
+        )
 
         # --- traversal --------------------------------------------------
         t_max = jnp.where(alive, BIG, 0.0)
         if cfg.use_brute_force:
-            from tracerboy_tpu.trace.intersect import brute_force_closest
-
-            t, tri, u, v = brute_force_closest(
-                s["origin"], s["direction"],
-                scene["tri_v0"], scene["tri_v1"], scene["tri_v2"],
+            t, tri, u, v = brute_force_closest_soa(
+                s["origin"], s["direction"], scene["tri9"], t_max
             )
-            t = jnp.where(alive, t, BIG)
-            tri = jnp.where(alive, tri, -1)
-            trav_cost = jnp.full(
-                (N,), float(scene["tri_v0"].shape[0]), jnp.float32
-            )
+            trav_cost = jnp.full((N,), float(T_padded), jnp.float32)
         elif cfg.traversal == "pallas":
             t, tri, u, v = _pallas_closest(
-                scene, s["origin"], s["direction"], t_max, shadow=False
+                scene, v3.to_rows(s["origin"]), v3.to_rows(s["direction"]),
+                t_max, shadow=False,
             )
-            trav_cost = jnp.zeros((N,), jnp.float32)
+            trav_cost = zero
         else:
             t, tri, u, v, trav_cost = traverse_wide(
-                s["origin"], s["direction"], t_max,
+                v3.to_rows(s["origin"]), v3.to_rows(s["direction"]), t_max,
                 scene["bvh_lo"], scene["bvh_hi"], scene["bvh_children"],
                 scene["tri_v0"], scene["tri_v1"], scene["tri_v2"],
                 leaf_size=cfg.leaf_size,
@@ -317,105 +370,89 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
 
         # --- miss: environment (kernel.glsl:1327-1343) ------------------
         if cfg.has_env:
-            env = sample_environment(
-                s["direction"], scene["env_map"], scene["env_transform"],
-                scene["env_color_scale"],
+            env = sample_environment_soa(
+                s["direction"], scene["env_r"], scene["env_g"],
+                scene["env_b"], env_h, env_w,
+                scene["env_transform"], scene["env_color_scale"],
             )
         else:
-            env = zero3
-        s["radiance"] = jnp.where(
-            miss[..., None], s["radiance"] + s["throughput"] * env,
-            s["radiance"],
+            env = vzero3
+        s["radiance"] = v3.where(
+            miss, s["radiance"] + s["throughput"] * env, s["radiance"]
         )
-        s["aov_emissive"] = jnp.where(
-            (miss & (i == 0))[..., None],
-            s["radiance"], s["aov_emissive"],
+        s["aov_emissive"] = v3.where(
+            miss & (i == 0), s["radiance"], s["aov_emissive"]
         )
         alive = alive & ~miss
 
         # --- hit attributes --------------------------------------------
-        tric = jnp.clip(tri, 0, scene["tri_v0"].shape[0] - 1)
-        hit_point = s["origin"] + s["direction"] * t[..., None]
-        sh_normal = normalize(_interp3(
-            scene["tri_n0"][tric], scene["tri_n1"][tric],
-            scene["tri_n2"][tric], u, v,
+        tric = jnp.clip(tri, 0, T_padded - 1)
+        attrs = tri_attrs(tric)
+        w_b = 1.0 - u - v
+        sh_normal = v3.normalize(V3(
+            attrs[0] * w_b + attrs[3] * u + attrs[6] * v,
+            attrs[1] * w_b + attrs[4] * u + attrs[7] * v,
+            attrs[2] * w_b + attrs[5] * u + attrs[8] * v,
         ))
-        uv = _interp3(
-            scene["tri_uv0"][tric], scene["tri_uv1"][tric],
-            scene["tri_uv2"][tric], u, v,
-        )
-        mat_id = scene["tri_material"][tric]
+        uv_u = attrs[9] * w_b + attrs[11] * u + attrs[13] * v
+        uv_v = attrs[10] * w_b + attrs[12] * u + attrs[14] * v
+        mat_id = jnp.round(attrs[15]).astype(jnp.int32)
 
-        ray_dot_n = dot(sh_normal, s["direction"])
+        hit_point = s["origin"] + s["direction"] * t
+
+        ray_dot_n = v3.dot(sh_normal, s["direction"])
         backside = ray_dot_n > 0.0
-        mat = fetch_material(
-            scene, mat_id, uv, backside, lane, sample_index, i, seed,
-            has_mix=cfg.has_mix, has_textures=cfg.has_textures,
+        mat = fetch_material_soa(
+            scene, mat_id, uv_u, uv_v, backside, lane, sample_index, i,
+            seed, has_mix=cfg.has_mix, has_textures=cfg.has_textures,
         )
         flags = mat["flags"]
-        detail_normal = sh_normal  # normal mapping hook (normal_tex)
-
-        # Flip normals when hitting the inside (kernel.glsl:1386-1394).
-        flip = backside
-        normal = jnp.where(flip[..., None], -sh_normal, sh_normal)
-        detail_normal = jnp.where(flip[..., None], -detail_normal, detail_normal)
-        ray_dot_n = jnp.where(flip, -ray_dot_n, ray_dot_n)
+        normal = v3.where(backside, -sh_normal, sh_normal)
+        detail_normal = normal  # normal-mapping hook
+        ray_dot_n = jnp.where(backside, -ray_dot_n, ray_dot_n)
 
         cur_ior = jnp.where(backside, mat["ior"], bsdf.AIR_IOR)
         new_ior = jnp.where(backside, bsdf.AIR_IOR, mat["ior"])
 
-        # ================================================================
-        # Medium transport for rays inside an SSS volume — the wavefront
-        # form of the reference's inner walk (kernel.glsl:1591-1691).
-        # ================================================================
+        # ===== medium transport (kernel.glsl:1591-1691, wavefront form) =
         in_medium = alive & s["inside"]
-        mean_scat = jnp.mean(s["med_scattering"], axis=-1)
+        mean_scat = v3.mean_c(s["med_scattering"])
         no_scatter = mean_scat < EPSILON
         dist_per_scatter = 1.0 / jnp.maximum(mean_scat, 1e-12)
         r_fly = tbrng.uniform(lane, sample_index, i, tbrng.STREAM_SSS, seed)
-        travel = jnp.maximum(-jnp.log(jnp.maximum(r_fly, 1e-12)), 0.1) * \
-            dist_per_scatter
+        travel = jnp.maximum(
+            -jnp.log(jnp.maximum(r_fly, 1e-12)), 0.1
+        ) * dist_per_scatter
         travel = jnp.where(no_scatter, BIG, travel)
         scatter_event = in_medium & (travel < t) & ~no_scatter
         seg = jnp.minimum(travel, t)
-        beer = jnp.exp(-s["med_absorption"] * seg[..., None])
-        s["throughput"] = jnp.where(
-            in_medium[..., None], s["throughput"] * beer, s["throughput"]
+        beer = v3.exp(-1.0 * s["med_absorption"] * seg)
+        s["throughput"] = v3.where(
+            in_medium, s["throughput"] * beer, s["throughput"]
         )
-        # Rays escaping the medium without a hit die (shouldn't happen in
-        # closed meshes; kernel.glsl:1612-1617 zeroes them too).
         med_escaped = s["inside"] & miss
-        s["throughput"] = jnp.where(
-            med_escaped[..., None], 0.0, s["throughput"]
-        )
+        s["throughput"] = v3.where(med_escaped, vzero3, s["throughput"])
 
-        # (a) scatter inside the medium: isotropic redirect.
-        r2 = tbrng.uniform2(lane, sample_index, i, tbrng.STREAM_SSS + 1, seed)
-        scat_dir, _ = bsdf.sample_uniform_sphere(r2[..., 0], r2[..., 1])
-        # (b) boundary: refract out (TIR keeps the ray inside).
-        exit_dir, tir = _refract_or_reflect(
-            s["direction"], normal, cur_ior / jnp.maximum(new_ior, 1e-6),
-            ray_dot_n,
+        r_s0, r_s1 = hash2(i, tbrng.STREAM_SSS + 1)
+        scat_dir = sample_uniform_sphere_soa(r_s0, r_s1)
+        exit_dir, tir = refract_or_reflect_soa(
+            s["direction"], normal,
+            cur_ior / jnp.maximum(new_ior, 1e-6), ray_dot_n,
         )
         med_exit = in_medium & ~scatter_event
         new_inside = jnp.where(
-            scatter_event, True, jnp.where(med_exit & ~tir, False, s["inside"])
+            scatter_event, True,
+            jnp.where(med_exit & ~tir, False, s["inside"]),
+        )
+        med_dir = v3.where(scatter_event, scat_dir, exit_dir)
+        med_org = v3.where(
+            scatter_event,
+            s["origin"] + s["direction"] * seg,
+            hit_point + v3.where(tir, normal * EPSILON, normal * -EPSILON),
         )
 
-        med_dir = jnp.where(scatter_event[..., None], scat_dir, exit_dir)
-        med_org = jnp.where(
-            scatter_event[..., None],
-            s["origin"] + s["direction"] * seg[..., None],
-            hit_point + jnp.where(
-                tir[..., None], normal * EPSILON, -normal * EPSILON
-            ),
-        )
-
-        # ================================================================
-        # Surface shading for rays NOT inside a medium
-        # ================================================================
+        # ===== surface shading =========================================
         shading = alive & ~s["inside"]
-
         is_light = (flags & LIGHT_FLAG) != 0
         allows_spec = (flags & NO_SPECULAR_FLAG) == 0
         is_metal = ((flags & METALLIC_FLAG) != 0) | ((flags & HAIR_FLAG) != 0)
@@ -427,163 +464,130 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         spec_ray = allows_spec & (is_metal | (r_spec < 0.5))
         perfect_spec = spec_ray & (mat["roughness"] < 0.05)
 
-        # --- emissive contribution (kernel.glsl:1425-1433) --------------
         take_emissive = (
             s["prev_perfect_specular"] | (i == 0) | ~is_light
             | (not cfg.enable_nee)
         )
-        s["radiance"] = jnp.where(
-            (shading & take_emissive)[..., None],
+        s["radiance"] = v3.where(
+            shading & take_emissive,
             s["radiance"] + s["throughput"] * mat["emissive"],
             s["radiance"],
         )
 
         # --- first-hit AOVs (RayGenCommon.h:524-654) --------------------
         first = (i == 0) & shading
-        s["aov_world_pos"] = jnp.where(first[..., None], hit_point,
-                                       s["aov_world_pos"])
-        s["aov_normal"] = jnp.where(first[..., None], detail_normal,
-                                    s["aov_normal"])
+        s["aov_world_pos"] = v3.where(first, hit_point, s["aov_world_pos"])
+        s["aov_normal"] = v3.where(first, detail_normal, s["aov_normal"])
         s["aov_depth"] = jnp.where(first, t, s["aov_depth"])
         s["aov_material"] = jnp.where(first, mat_id, s["aov_material"])
-        s["aov_albedo"] = jnp.where(first[..., None], mat["albedo"],
-                                    s["aov_albedo"])
-        s["aov_emissive"] = jnp.where(first[..., None], mat["emissive"],
-                                      s["aov_emissive"])
-        n_hit = n_origin + n_direction * t[..., None]
+        s["aov_albedo"] = v3.where(first, mat["albedo"], s["aov_albedo"])
+        s["aov_emissive"] = v3.where(first, mat["emissive"],
+                                     s["aov_emissive"])
+        n_hit = n_origin + n_direction * t
         s["aov_neighbor_dist"] = jnp.where(
-            first, jnp.linalg.norm(n_hit - hit_point, axis=-1),
-            s["aov_neighbor_dist"],
+            first, v3.length(n_hit - hit_point), s["aov_neighbor_dist"]
         )
-        s["aov_heatmap"] = jnp.where(
-            i == 0, trav_cost, s["aov_heatmap"]
-        )
+        s["aov_heatmap"] = jnp.where(i == 0, trav_cost, s["aov_heatmap"])
 
-        # Ray-path visualization record for the selected pixel
-        # (RayGenCommon.h:600-630 OutputVisualizationRay): capture this
-        # bounce's segment for lane == selected_pixel.
+        # Ray-path visualization for the selected pixel.
         sel = params.get("selected_pixel")
         if sel is not None:
-            is_sel = (lane == sel) & alive
-            seg = jnp.concatenate(
-                [s["origin"], hit_point,
-                 jnp.stack([t, alive.astype(jnp.float32)], axis=-1)],
-                axis=-1,
-            )  # (N, 8)
-            sel_seg = jnp.sum(
-                jnp.where(is_sel[..., None], seg, 0.0), axis=0
-            )
-            s["viz_rays"] = s["viz_rays"].at[i].set(sel_seg)
+            is_sel = ((lane == sel) & alive).astype(jnp.float32)
+            def selsum(a):
+                return jnp.sum(a * is_sel)
+            seg_row = jnp.stack([
+                selsum(s["origin"].x), selsum(s["origin"].y),
+                selsum(s["origin"].z), selsum(hit_point.x),
+                selsum(hit_point.y), selsum(hit_point.z),
+                selsum(t), jnp.sum(is_sel),
+            ])
+            s["viz_rays"] = s["viz_rays"].at[i].set(seg_row)
 
         # --- NEE (kernel.glsl:1435-1517) --------------------------------
         if cfg.enable_nee and cfg.num_lights > 0:
-            ls = sample_one_light(
+            ls = sample_one_light_soa(
                 scene["lights"], cfg.num_lights, hit_point, lane,
                 sample_index, i, use_ris=cfg.enable_ris, seed=seed,
             )
-            facing = dot(ls["direction"], ls["normal"]) < 0.0
+            facing = v3.dot(ls["direction"], ls["normal"]) < 0.0
             do_nee = (
                 shading & ~perfect_spec & ~is_light
                 & (ls["pdf"] > EPSILON) & facing
             )
+            s["rays_traced"] = s["rays_traced"] + jnp.sum(
+                do_nee.astype(jnp.float32)
+            )
             sh_org = hit_point + normal * EPSILON
             sh_tmax = jnp.where(do_nee, ls["distance"] * (1.0 - 1e-3), 0.0)
             if cfg.use_brute_force:
-                from tracerboy_tpu.trace.intersect import ray_triangle
-
-                ts, _, _, hits = ray_triangle(
-                    sh_org[:, None, :], ls["direction"][:, None, :],
-                    scene["tri_v0"][None], scene["tri_v1"][None],
-                    scene["tri_v2"][None], t_max=sh_tmax[:, None],
+                occluded = brute_force_anyhit_soa(
+                    sh_org, ls["direction"], scene["tri9"], sh_tmax,
+                    tri_opaque=scene.get("tri_shadow_opaque"),
                 )
-                opaque = scene.get("tri_shadow_opaque")
-                if opaque is not None:
-                    hits = hits & opaque[None, :]
-                occluded = jnp.any(hits, axis=1)
             elif cfg.traversal == "pallas":
-                # Shadow rays traverse a second packed BVH that excludes
-                # light geometry (the IsLight pass-through semantics).
                 st, _, _, _ = _pallas_closest(
-                    scene, sh_org, ls["direction"], sh_tmax, shadow=True
+                    scene, v3.to_rows(sh_org), v3.to_rows(ls["direction"]),
+                    sh_tmax, shadow=True,
                 )
                 occluded = st < sh_tmax
             else:
                 occluded = traverse_wide(
-                    sh_org, ls["direction"], sh_tmax,
+                    v3.to_rows(sh_org), v3.to_rows(ls["direction"]),
+                    sh_tmax,
                     scene["bvh_lo"], scene["bvh_hi"], scene["bvh_children"],
                     scene["tri_v0"], scene["tri_v1"], scene["tri_v2"],
                     leaf_size=cfg.leaf_size, any_hit=True,
                     tri_mask=scene.get("tri_shadow_opaque"),
                 )
-            s["rays_traced"] = s["rays_traced"] + jnp.sum(
-                do_nee.astype(jnp.float32)
-            )
             light_mult = (
                 ls["attenuation"]
-                * bsdf.diffuse_brdf(ls["direction"], detail_normal)
-                * jnp.abs(dot(ls["normal"], ls["direction"]))
+                * diffuse_brdf_soa(ls["direction"], detail_normal)
+                * jnp.abs(v3.dot(ls["normal"], ls["direction"]))
                 / jnp.maximum(ls["pdf"], 1e-12)
             )
-            contrib = (
-                s["throughput"] * mat["albedo"] * ls["color"]
-                * light_mult[..., None]
-            )
-            s["radiance"] = jnp.where(
-                (do_nee & ~occluded)[..., None],
-                s["radiance"] + contrib, s["radiance"],
+            add = do_nee & ~occluded
+            contrib = s["throughput"] * mat["albedo"] * ls["color"]
+            s["radiance"] = v3.where(
+                add, s["radiance"] + contrib * light_mult, s["radiance"]
             )
 
-        # Rays that hit a light stop after contributing
-        # (kernel.glsl:1430-1433).
         died_on_light = shading & is_light
-        # --- BSDF sampling ----------------------------------------------
-        # Blue noise drives the first bounce's direction sample; deeper
-        # bounces use the hash streams (RayGenCommon.h:102-122).
-        r_hash = tbrng.uniform2(
-            lane, sample_index, i, tbrng.STREAM_SECONDARY_DIR, seed
-        )
-        r_blue = _blue_or_hash2(
-            scene, px, py, lane, sample_index, i,
-            tbrng.STREAM_SECONDARY_DIR, cfg, seed,
-        )
-        r_dir = jnp.where(i == 0, r_blue, r_hash)
 
-        spec_dir = bsdf.sample_ggx_reflection(
-            s["direction"], normal, mat["roughness"],
-            r_dir[..., 0], r_dir[..., 1],
+        # --- BSDF sampling ----------------------------------------------
+        rh_u, rh_v = hash2(i, tbrng.STREAM_SECONDARY_DIR)
+        r_u = jnp.where(i == 0, blue_dir[0], rh_u)
+        r_v = jnp.where(i == 0, blue_dir[1], rh_v)
+
+        spec_dir = sample_ggx_reflection_soa(
+            s["direction"], normal, mat["roughness"], r_u, r_v
         )
-        diff_dir, diff_pdf0 = bsdf.sample_cosine_hemisphere(
-            normal, r_dir[..., 0], r_dir[..., 1]
-        )
-        # SSS entry refraction (kernel.glsl:1529-1563).
-        sss_dir, sss_tir = _refract_or_reflect(
-            s["direction"], normal, cur_ior / jnp.maximum(new_ior, 1e-6),
-            ray_dot_n,
+        diff_dir, _ = sample_cosine_hemisphere_soa(normal, r_u, r_v)
+        sss_dir, sss_tir = refract_or_reflect_soa(
+            s["direction"], normal,
+            cur_ior / jnp.maximum(new_ior, 1e-6), ray_dot_n,
         )
 
         surf_sss = shading & is_sss & ~spec_ray
-        new_dir = jnp.where(
-            spec_ray[..., None], spec_dir,
-            jnp.where(is_sss[..., None], sss_dir, diff_dir),
+        new_dir = v3.where(
+            spec_ray, spec_dir, v3.where(is_sss, sss_dir, diff_dir)
         )
 
-        # Entering a medium: not single-sided, refracted (not TIR).
         entering = surf_sss & ~single_sided & ~sss_tir
         new_inside2 = jnp.where(shading, entering, new_inside)
-        s["med_absorption"] = jnp.where(
-            entering[..., None], mat["absorption"], s["med_absorption"]
+        s["med_absorption"] = v3.where(
+            entering, mat["absorption"], s["med_absorption"]
         )
-        s["med_scattering"] = jnp.where(
-            entering[..., None], mat["scattering"], s["med_scattering"]
+        s["med_scattering"] = v3.where(
+            entering, mat["scattering"], s["med_scattering"]
         )
         s["med_ior"] = jnp.where(entering, mat["ior"], s["med_ior"])
 
         # --- throughput update (kernel.glsl:1699-1772) ------------------
         prev_dir = s["direction"]
-        diffuse_pdf = dot(new_dir, normal) / jnp.pi
-        half = bsdf.half_vector_safe(-prev_dir, new_dir, normal)
-        spec_pdf = bsdf.ggx_reflection_pdf(normal, new_dir, half,
-                                           mat["roughness"])
+        diffuse_pdf = v3.dot(new_dir, normal) / jnp.pi
+        half = half_vector_safe_soa(-prev_dir, new_dir, normal)
+        spec_pdf = ggx_reflection_pdf_soa(normal, new_dir, half,
+                                          mat["roughness"])
         pdf = jnp.where(
             allows_spec,
             jnp.where(is_metal, spec_pdf, 0.5 * (spec_pdf + diffuse_pdf)),
@@ -593,44 +597,39 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
 
         albedo = mat["albedo"]
         if cfg.decouple_albedo:
-            # RealTime mode: demodulate first-hit albedo so the denoiser
-            # works on pure lighting (kernel.glsl:1725-1729).
-            albedo = jnp.where(i == 0, jnp.ones_like(albedo), albedo)
+            albedo = v3.where(i == 0, V3(one, one, one), albedo)
 
-        spec_w = bsdf.specular_weight(
+        spec_w = specular_weight_soa(
             prev_dir, new_dir, normal, detail_normal, mat["roughness"]
         )
-        cos_sat = jnp.clip(dot(new_dir, normal), 0.0, 1.0)
-
-        metal_mult = spec_w[..., None] * albedo * cos_sat[..., None]
+        cos_sat = jnp.clip(v3.dot(new_dir, normal), 0.0, 1.0)
+        metal_mult = albedo * (spec_w * cos_sat)
 
         refl_coef = mat["specular_coef"]
         fresnel = refl_coef + (1.0 - refl_coef) * jnp.power(
-            jnp.abs(1.0 - dot(-prev_dir, half)), 5.0
+            jnp.abs(1.0 - v3.dot(-prev_dir, half)), 5.0
         )
         diffuse_multiplier = (
             (28.0 / (23.0 * jnp.pi))
             * (1.0 - refl_coef)
-            * (1.0 - jnp.power(1.0 - 0.5 * dot(-prev_dir, normal), 5.0))
-            * (1.0 - jnp.power(1.0 - 0.5 * dot(new_dir, normal), 5.0))
+            * (1.0 - jnp.power(1.0 - 0.5 * v3.dot(-prev_dir, normal), 5.0))
+            * (1.0 - jnp.power(1.0 - 0.5 * v3.dot(new_dir, normal), 5.0))
         )
-        diffuse_col = albedo * diffuse_multiplier[..., None]
-        plastic_mult = (
-            (diffuse_col + (fresnel * spec_w)[..., None])
-            * cos_sat[..., None]
+        plastic_mult = V3(
+            (albedo.x * diffuse_multiplier + fresnel * spec_w) * cos_sat,
+            (albedo.y * diffuse_multiplier + fresnel * spec_w) * cos_sat,
+            (albedo.z * diffuse_multiplier + fresnel * spec_w) * cos_sat,
         )
-        diffuse_contrib = diffuse_col[..., 0] / jnp.maximum(
+        diffuse_contrib = (albedo.x * diffuse_multiplier) / jnp.maximum(
             (diffuse_multiplier + fresnel * spec_w) * cos_sat, 1e-8
         )
-        lambert_mult = albedo * bsdf.diffuse_brdf(new_dir, detail_normal)[..., None]
+        lambert_mult = albedo * diffuse_brdf_soa(new_dir, detail_normal)
 
-        surface_mult = jnp.where(
-            is_metal[..., None], metal_mult,
-            jnp.where(allows_spec[..., None], plastic_mult, lambert_mult),
+        surface_mult = v3.where(
+            is_metal, metal_mult,
+            v3.where(allows_spec, plastic_mult, lambert_mult),
         )
-        # SSS entry keeps throughput (transmission handled by the medium).
-        surface_mult = jnp.where(surf_sss[..., None],
-                                 jnp.ones_like(surface_mult), surface_mult)
+        surface_mult = v3.where(surf_sss, V3(one, one, one), surface_mult)
         surface_scale = jnp.where(surf_sss, 1.0, inv_pdf)
 
         s["aov_diffuse_contrib"] = jnp.where(
@@ -639,29 +638,29 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         )
 
         apply_surface = shading & ~died_on_light
-        s["throughput"] = jnp.where(
-            apply_surface[..., None],
-            s["throughput"] * surface_mult * surface_scale[..., None],
+        s["throughput"] = v3.where(
+            apply_surface,
+            s["throughput"] * surface_mult * surface_scale,
             s["throughput"],
         )
 
         # --- commit new ray state --------------------------------------
-        new_origin = jnp.where(
-            surf_sss[..., None],
-            hit_point + jnp.where(sss_tir[..., None], normal * EPSILON,
-                                  -normal * EPSILON),
+        new_origin = v3.where(
+            surf_sss,
+            hit_point + v3.where(sss_tir, normal * EPSILON,
+                                 normal * -EPSILON),
             hit_point + normal * EPSILON,
         )
-        s["origin"] = jnp.where(
-            in_medium[..., None], med_org,
-            jnp.where(shading[..., None], new_origin, s["origin"]),
+        s["origin"] = v3.where(
+            in_medium, med_org, v3.where(shading, new_origin, s["origin"])
         )
-        s["direction"] = jnp.where(
-            in_medium[..., None], med_dir,
-            jnp.where(shading[..., None], new_dir, s["direction"]),
+        s["direction"] = v3.where(
+            in_medium, med_dir, v3.where(shading, new_dir, s["direction"])
         )
-        s["inside"] = jnp.where(in_medium, new_inside,
-                                jnp.where(shading, new_inside2, s["inside"]))
+        s["inside"] = jnp.where(
+            in_medium, new_inside,
+            jnp.where(shading, new_inside2, s["inside"]),
+        )
         s["prev_perfect_specular"] = jnp.where(
             shading, perfect_spec, s["prev_perfect_specular"]
         )
@@ -673,23 +672,25 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
 
     radiance = state["radiance"]
     clamp = params.get("firefly_clamp", 0.0)
-    radiance = jnp.where(clamp >= EPSILON, jnp.minimum(radiance, clamp),
-                         radiance)
-    radiance = jnp.where(jnp.isnan(radiance), 0.0, radiance)
+    do_clamp = clamp >= EPSILON
+    radiance = V3(
+        jnp.where(do_clamp, jnp.minimum(radiance.x, clamp), radiance.x),
+        jnp.where(do_clamp, jnp.minimum(radiance.y, clamp), radiance.y),
+        jnp.where(do_clamp, jnp.minimum(radiance.z, clamp), radiance.z),
+    )
+    radiance = v3.where(v3.isnan_any(radiance), vzero3, radiance)
 
-    # Adaptively-skipped pixels contribute neither radiance nor weight —
-    # their accumulator must stay untouched.
     if params.get("active_mask") is not None:
         fw = jnp.where(params["active_mask"], fw, 0.0)
 
     return dict(
-        radiance=radiance * fw[..., None],
+        radiance=v3.to_rows(radiance * fw),
         filter_weight=fw,
-        albedo=state["aov_albedo"],
-        normal=state["aov_normal"],
-        world_pos=state["aov_world_pos"],
+        albedo=v3.to_rows(state["aov_albedo"]),
+        normal=v3.to_rows(state["aov_normal"]),
+        world_pos=v3.to_rows(state["aov_world_pos"]),
         depth=state["aov_depth"],
-        emissive=state["aov_emissive"],
+        emissive=v3.to_rows(state["aov_emissive"]),
         material=state["aov_material"],
         diffuse_contrib=state["aov_diffuse_contrib"],
         neighbor_dist=state["aov_neighbor_dist"],
