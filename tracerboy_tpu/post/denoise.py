@@ -33,14 +33,21 @@ def atrous_iteration(
     position_weight_mult=1.0,
 ):
     H, W = color_var.shape[:2]
+    # Work on dense (H, W) channel planes: an (H, W, C) array pads its
+    # minor dim C to 128 lanes on TPU (see core/vec3.py), which at 25
+    # taps per iteration dominates the pass.
+    cr, cg, cb = (color_var[..., k] for k in range(3))
+    cvar = color_var[..., 3]
+    nx, ny_, nz = (normals[..., k] for k in range(3))
+    px_, py_, pz = (positions[..., k] for k in range(3))
     center_luma = luminance(undenoised)
-    center_var_sqrt = jnp.sqrt(jnp.maximum(color_var[..., 3], 0.0))
-    center_n = normals
-    center_p = positions[..., :3]
+    center_var_sqrt = jnp.sqrt(jnp.maximum(cvar, 0.0))
     neighbor_dist = positions[..., 3]
-    valid = jnp.any(normals != 0.0, axis=-1)
+    valid = (nx != 0.0) | (ny_ != 0.0) | (nz != 0.0)
 
-    acc_color = jnp.zeros((H, W, 3), jnp.float32)
+    acc_r = jnp.zeros((H, W), jnp.float32)
+    acc_g = jnp.zeros((H, W), jnp.float32)
+    acc_b = jnp.zeros((H, W), jnp.float32)
     acc_var = jnp.zeros((H, W), jnp.float32)
     acc_w = jnp.zeros((H, W), jnp.float32)
 
@@ -48,20 +55,20 @@ def atrous_iteration(
         for ox in range(-2, 3):
             # Neighbor at (y + oy*step, x + ox*step) => roll by the negative.
             shift = (-oy * step, -ox * step)
-            q_cv = jnp.roll(color_var, shift, axis=(0, 1))
-            q_luma = jnp.roll(center_luma, shift, axis=(0, 1))
-            q_n = jnp.roll(center_n, shift, axis=(0, 1))
-            q_p = jnp.roll(center_p, shift, axis=(0, 1))
+            roll = lambda a: jnp.roll(a, shift, axis=(0, 1))
 
             luma_w = jnp.exp(
-                -jnp.abs(q_luma - center_luma)
+                -jnp.abs(roll(center_luma) - center_luma)
                 / jnp.maximum(luma_weight_mult * center_var_sqrt, EPSILON)
             )
-            normal_w = jnp.power(
-                jnp.maximum(0.0, jnp.sum(center_n * q_n, axis=-1)),
-                normal_exp,
+            ndot = (
+                nx * roll(nx) + ny_ * roll(ny_) + nz * roll(nz)
             )
-            dist = jnp.linalg.norm(q_p - center_p, axis=-1)
+            normal_w = jnp.power(jnp.maximum(0.0, ndot), normal_exp)
+            dxp = roll(px_) - px_
+            dyp = roll(py_) - py_
+            dzp = roll(pz) - pz
+            dist = jnp.sqrt(dxp * dxp + dyp * dyp + dzp * dzp)
             # offset-scaled tolerance (DenoiserCS.hlsl:41-44)
             off_mag = jnp.abs(ox * step) + jnp.abs(oy * step)
             pos_w = jnp.exp(
@@ -80,13 +87,17 @@ def atrous_iteration(
             ).astype(jnp.float32)
             w = w * inside
 
-            acc_color = acc_color + q_cv[..., :3] * w[..., None]
-            acc_var = acc_var + q_cv[..., 3] * w * w
+            acc_r = acc_r + roll(cr) * w
+            acc_g = acc_g + roll(cg) * w
+            acc_b = acc_b + roll(cb) * w
+            acc_var = acc_var + roll(cvar) * w * w
             acc_w = acc_w + w
 
-    out_color = acc_color / jnp.maximum(acc_w, 1e-8)[..., None]
-    out_var = acc_var / jnp.maximum(acc_w * acc_w, 1e-8)
-    out = jnp.concatenate([out_color, out_var[..., None]], axis=-1)
+    inv_w = 1.0 / jnp.maximum(acc_w, 1e-8)
+    out = jnp.stack(
+        [acc_r * inv_w, acc_g * inv_w, acc_b * inv_w,
+         acc_var * inv_w * inv_w], axis=-1,
+    )
     # Pixels with no geometry pass through untouched.
     return jnp.where(valid[..., None], out, color_var)
 
