@@ -88,26 +88,38 @@ def temporal_accumulate(
     dist_tol = jnp.linalg.norm(nmax_w - nmin_w, axis=-1)
 
     # Manual bilinear taps with world-position validity weights
-    # (TemporalAccumulationCS.hlsl:170-204).
+    # (TemporalAccumulationCS.hlsl:170-204). Gathers run per channel
+    # plane from flat (H*W,) views (dense layouts; an (H, W, 3) gather
+    # result pads 3 lanes to 128 on TPU).
     fxy = uv * jnp.array([W, H], jnp.float32) - 0.5
     base = jnp.floor(fxy).astype(jnp.int32)
     frac = fxy - base
 
-    prev_color = jnp.zeros_like(current)
-    prev_moment = jnp.zeros_like(moment_history)
+    hist_flat = [history[..., c].reshape(-1) for c in range(3)]
+    mom_flat = [moment_history[..., c].reshape(-1) for c in range(3)]
+    pw_flat = [prev_world_pos[..., c].reshape(-1) for c in range(3)]
+
+    prev_c = [jnp.zeros((H, W), jnp.float32) for _ in range(3)]
+    prev_m = [jnp.zeros((H, W), jnp.float32) for _ in range(3)]
     weight_sum = jnp.zeros((H, W), jnp.float32)
     for dx in (0, 1):
         for dy in (0, 1):
             ix = jnp.clip(base[..., 0] + dx, 0, W - 1)
             iy = jnp.clip(base[..., 1] + dy, 0, H - 1)
-            pw = prev_world_pos[iy, ix, :3]
-            ok = jnp.linalg.norm(pw - wp, axis=-1) < dist_tol
+            flat = iy * W + ix
+            dxp = pw_flat[0][flat] - wp[..., 0]
+            dyp = pw_flat[1][flat] - wp[..., 1]
+            dzp = pw_flat[2][flat] - wp[..., 2]
+            ok = jnp.sqrt(dxp * dxp + dyp * dyp + dzp * dzp) < dist_tol
             wx = jnp.where(dx == 0, 1.0 - frac[..., 0], frac[..., 0])
             wy = jnp.where(dy == 0, 1.0 - frac[..., 1], frac[..., 1])
             wgt = jnp.where(ok, wx * wy, 0.0)
-            prev_color = prev_color + history[iy, ix] * wgt[..., None]
-            prev_moment = prev_moment + moment_history[iy, ix] * wgt[..., None]
+            for c in range(3):
+                prev_c[c] = prev_c[c] + hist_flat[c][flat] * wgt
+                prev_m[c] = prev_m[c] + mom_flat[c][flat] * wgt
             weight_sum = weight_sum + wgt
+    prev_color = jnp.stack(prev_c, axis=-1)
+    prev_moment = jnp.stack(prev_m, axis=-1)
 
     valid = in_bounds & hit_valid & (weight_sum > 0.0)
     if ignore_history:
