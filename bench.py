@@ -45,12 +45,16 @@ def main():
         num_lights=cs.num_lights, has_env=cs.has_env,
         enable_nee=True, traversal="brute",
         has_mix=False, has_textures=False,
+        want_aovs=False,  # pure progressive accumulation
     )
+    pixel_ids = jnp.arange(W * H, dtype=jnp.int32)
+    from tracerboy_tpu.trace.wavefront import make_blue_noise_params
+
     params = dict(
         dof_focus=jnp.float32(0.0), dof_aperture=jnp.float32(0.0),
         firefly_clamp=jnp.float32(0.0), seed=jnp.int32(0),
+        bn=make_blue_noise_params(scene, pixel_ids, W),
     )
-    pixel_ids = jnp.arange(W * H, dtype=jnp.int32)
     step = jax.jit(partial(render_wave, cfg=cfg))
 
     # Warmup / compile (served from the persistent cache when possible).

@@ -186,6 +186,18 @@ class Renderer:
             firefly_clamp=jnp.float32(s.fireflies_clamp),
             seed=jnp.int32(0),
         )
+        if s.performance_settings.use_blue_noise:
+            if not hasattr(self, "_bn_cache"):
+                from tracerboy_tpu.trace.wavefront import (
+                    make_blue_noise_params,
+                )
+
+                self._bn_cache = make_blue_noise_params(
+                    self.scene_pytree,
+                    jnp.arange(self.width * self.height, dtype=jnp.int32),
+                    self.width,
+                )
+            p["bn"] = self._bn_cache
         if fixed_offset is not None:
             p["fixed_pixel_offset"] = jnp.asarray(fixed_offset, jnp.float32)
         return p

@@ -139,6 +139,10 @@ class WaveConfig:
     # skip those fetch paths entirely.
     has_mix: bool = True
     has_textures: bool = True
+    # AOV production (first-hit albedo/normal/world-pos/...): required for
+    # RealTime mode, denoisers and debugging; pure progressive
+    # accumulation can skip the writes + padded output traffic.
+    want_aovs: bool = True
     # Traversal backend:
     #  "jnp"    — lock-step masked traversal (portable reference)
     #  "brute"  — exhaustive ray x tri tests; zero gathers, fastest for
@@ -179,6 +183,19 @@ def _interp3(a, b, c, u, v):
     return (
         a * w[..., None] + b * u[..., None] + c * v[..., None]
     )
+
+
+def make_blue_noise_params(scene, pixel_ids, width: int):
+    """Pre-gather the 6 static per-pixel blue-noise values (the textures
+    never change; only the Cranley-Patterson rotation is per-sample).
+    Pass the result as params['bn'] to skip all in-wave gathers."""
+    px = pixel_ids % width
+    py = pixel_ids // width
+    idx = (py % 256) * 256 + (px % 256)
+    b0 = scene["blue0_t"]
+    b1 = scene["blue1_t"]
+    return (b0[0][idx], b0[1][idx], b0[2][idx], b0[3][idx],
+            b1[2][idx], b1[3][idx])
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -236,19 +253,27 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
     def hash2(bounce, stream):
         return tbrng.uniform2_soa(lane, sample_index, bounce, stream, seed)
 
-    bn_idx = (py % 256) * 256 + (px % 256)
-
-    def blue2(table_t, c):
-        """Blue-noise pair from flattened channel rows + CP rotation."""
-        u = table_t[c][bn_idx]
-        v = table_t[c + 1][bn_idx]
-        shift = tbrng.halton23(jnp.asarray(sample_index))
-        return jnp.mod(u + shift[0], 1.0), jnp.mod(v + shift[1], 1.0)
-
     if cfg.use_blue_noise:
-        jit_u, jit_v = blue2(scene["blue0_t"], 0)
-        dof_u, dof_v = blue2(scene["blue1_t"], 2)
-        blue_dir = blue2(scene["blue0_t"], 2)
+        # Static per-pixel blue-noise values: pre-gathered once by the
+        # caller (make_blue_noise_params) — only the Cranley-Patterson
+        # rotation depends on the sample index.
+        bn = params.get("bn")
+        if bn is None:
+            bn_idx = (py % 256) * 256 + (px % 256)
+            bn = tuple(
+                scene[t][c][bn_idx]
+                for t, cs in (("blue0_t", (0, 1, 2, 3)),
+                              ("blue1_t", (2, 3)))
+                for c in cs
+            )
+        shift = tbrng.halton23(jnp.asarray(sample_index))
+
+        def rot(u, k):
+            return jnp.mod(u + shift[k], 1.0)
+
+        jit_u, jit_v = rot(bn[0], 0), rot(bn[1], 1)
+        blue_dir = (rot(bn[2], 0), rot(bn[3], 1))
+        dof_u, dof_v = rot(bn[4], 0), rot(bn[5], 1)
     else:
         jit_u, jit_v = hash2(0, tbrng.STREAM_PRIMARY_JITTER)
         dof_u, dof_v = hash2(0, tbrng.STREAM_DOF)
@@ -282,10 +307,11 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         dof_u=dof_u, dof_v=dof_v,
         filter_width=cfg.filter_width,
     )
-    n_origin, n_direction = generate_primary_rays_soa(
-        scene["camera"], cfg.width, cfg.height, pixel_ids + 1, jit_u, jit_v,
-        filter_width=cfg.filter_width,
-    )
+    if cfg.want_aovs:
+        n_origin, n_direction = generate_primary_rays_soa(
+            scene["camera"], cfg.width, cfg.height, pixel_ids + 1,
+            jit_u, jit_v, filter_width=cfg.filter_width,
+        )
 
     env_h, env_w = scene["env_map"].shape[0], scene["env_map"].shape[1]
     T_padded = scene["tri9"].shape[0]
@@ -312,19 +338,24 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         med_absorption=vzero3,
         med_scattering=vzero3,
         med_ior=one,
-        aov_albedo=vzero3,
-        aov_normal=vzero3,
-        aov_world_pos=vzero3,
-        aov_emissive=vzero3,
-        aov_depth=zero,
-        aov_material=jnp.full((N,), -1, jnp.int32) + vz.astype(jnp.int32),
-        aov_diffuse_contrib=one,
-        aov_neighbor_dist=zero,
-        aov_heatmap=zero,
-        viz_rays=jnp.zeros((cfg.max_bounces, 8), jnp.float32) + jnp.sum(vz),
         rays_traced=jnp.sum(vz),
         live_end=jnp.sum(vz),
     )
+    if cfg.want_aovs:
+        state.update(
+            aov_albedo=vzero3,
+            aov_normal=vzero3,
+            aov_world_pos=vzero3,
+            aov_emissive=vzero3,
+            aov_depth=zero,
+            aov_material=jnp.full((N,), -1, jnp.int32)
+            + vz.astype(jnp.int32),
+            aov_diffuse_contrib=one,
+            aov_neighbor_dist=zero,
+            aov_heatmap=zero,
+            viz_rays=jnp.zeros((cfg.max_bounces, 8), jnp.float32)
+            + jnp.sum(vz),
+        )
 
     def bounce(i, s):
         alive = s["alive"]
@@ -380,9 +411,10 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         s["radiance"] = v3.where(
             miss, s["radiance"] + s["throughput"] * env, s["radiance"]
         )
-        s["aov_emissive"] = v3.where(
-            miss & (i == 0), s["radiance"], s["aov_emissive"]
-        )
+        if cfg.want_aovs:
+            s["aov_emissive"] = v3.where(
+                miss & (i == 0), s["radiance"], s["aov_emissive"]
+            )
         alive = alive & ~miss
 
         # --- hit attributes --------------------------------------------
@@ -476,22 +508,27 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
 
         # --- first-hit AOVs (RayGenCommon.h:524-654) --------------------
         first = (i == 0) & shading
-        s["aov_world_pos"] = v3.where(first, hit_point, s["aov_world_pos"])
-        s["aov_normal"] = v3.where(first, detail_normal, s["aov_normal"])
-        s["aov_depth"] = jnp.where(first, t, s["aov_depth"])
-        s["aov_material"] = jnp.where(first, mat_id, s["aov_material"])
-        s["aov_albedo"] = v3.where(first, mat["albedo"], s["aov_albedo"])
-        s["aov_emissive"] = v3.where(first, mat["emissive"],
-                                     s["aov_emissive"])
-        n_hit = n_origin + n_direction * t
-        s["aov_neighbor_dist"] = jnp.where(
-            first, v3.length(n_hit - hit_point), s["aov_neighbor_dist"]
-        )
-        s["aov_heatmap"] = jnp.where(i == 0, trav_cost, s["aov_heatmap"])
+        if cfg.want_aovs:
+            s["aov_world_pos"] = v3.where(first, hit_point,
+                                          s["aov_world_pos"])
+            s["aov_normal"] = v3.where(first, detail_normal,
+                                       s["aov_normal"])
+            s["aov_depth"] = jnp.where(first, t, s["aov_depth"])
+            s["aov_material"] = jnp.where(first, mat_id, s["aov_material"])
+            s["aov_albedo"] = v3.where(first, mat["albedo"],
+                                       s["aov_albedo"])
+            s["aov_emissive"] = v3.where(first, mat["emissive"],
+                                         s["aov_emissive"])
+            n_hit = n_origin + n_direction * t
+            s["aov_neighbor_dist"] = jnp.where(
+                first, v3.length(n_hit - hit_point), s["aov_neighbor_dist"]
+            )
+            s["aov_heatmap"] = jnp.where(i == 0, trav_cost,
+                                         s["aov_heatmap"])
 
         # Ray-path visualization for the selected pixel.
         sel = params.get("selected_pixel")
-        if sel is not None:
+        if sel is not None and cfg.want_aovs:
             is_sel = ((lane == sel) & alive).astype(jnp.float32)
             def selsum(a):
                 return jnp.sum(a * is_sel)
@@ -632,10 +669,11 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         surface_mult = v3.where(surf_sss, V3(one, one, one), surface_mult)
         surface_scale = jnp.where(surf_sss, 1.0, inv_pdf)
 
-        s["aov_diffuse_contrib"] = jnp.where(
-            first & allows_spec & ~is_metal, diffuse_contrib,
-            s["aov_diffuse_contrib"],
-        )
+        if cfg.want_aovs:
+            s["aov_diffuse_contrib"] = jnp.where(
+                first & allows_spec & ~is_metal, diffuse_contrib,
+                s["aov_diffuse_contrib"],
+            )
 
         apply_surface = shading & ~died_on_light
         s["throughput"] = v3.where(
@@ -683,22 +721,30 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
     if params.get("active_mask") is not None:
         fw = jnp.where(params["active_mask"], fw, 0.0)
 
-    return dict(
-        radiance=v3.to_rows(radiance * fw),
+    rad = radiance * fw
+    out = dict(
+        # Dense channel planes (the (N, 3) stacked form pads 42x on TPU;
+        # accumulate per plane).
+        radiance_r=rad.x, radiance_g=rad.y, radiance_b=rad.z,
         filter_weight=fw,
-        albedo=v3.to_rows(state["aov_albedo"]),
-        normal=v3.to_rows(state["aov_normal"]),
-        world_pos=v3.to_rows(state["aov_world_pos"]),
-        depth=state["aov_depth"],
-        emissive=v3.to_rows(state["aov_emissive"]),
-        material=state["aov_material"],
-        diffuse_contrib=state["aov_diffuse_contrib"],
-        neighbor_dist=state["aov_neighbor_dist"],
-        heatmap=state["aov_heatmap"],
-        viz_rays=state["viz_rays"],
         rays_traced=state["rays_traced"],
         live_end=state["live_end"],
     )
+    if cfg.want_aovs:
+        out.update(
+            radiance=v3.to_rows(rad),
+            albedo=v3.to_rows(state["aov_albedo"]),
+            normal=v3.to_rows(state["aov_normal"]),
+            world_pos=v3.to_rows(state["aov_world_pos"]),
+            depth=state["aov_depth"],
+            emissive=v3.to_rows(state["aov_emissive"]),
+            material=state["aov_material"],
+            diffuse_contrib=state["aov_diffuse_contrib"],
+            neighbor_dist=state["aov_neighbor_dist"],
+            heatmap=state["aov_heatmap"],
+            viz_rays=state["viz_rays"],
+        )
+    return out
 
 
 @partial(jax.jit, static_argnames=("cfg", "k"))
