@@ -118,6 +118,22 @@ class Renderer:
             self.invalidate_history()
         self.settings = new_settings
 
+    # -- shader hot-reload analog (TracerBoy::RecompileShaders,
+    # TracerBoy.cpp:2608-2675): drop all compiled programs and re-import
+    # the kernel modules so edited integrator code takes effect live. ----
+    def recompile_shaders(self):
+        import importlib
+
+        import jax
+
+        from tracerboy_tpu.trace import wavefront as _wf
+
+        jax.clear_caches()
+        importlib.reload(_wf)
+        if hasattr(self, "_bn_cache"):
+            del self._bn_cache
+        self.invalidate_history()
+
     # -- camera update (TracerBoy::Update, TracerBoy.cpp:3386-3500) ------
     def move_camera(self, forward=0.0, strafe=0.0, upward=0.0,
                     yaw=0.0, pitch=0.0):

@@ -523,6 +523,28 @@ def load_compiled(path: str) -> CompiledScene:
     )
 
 
+def load_scene_async(path: str, use_cache: bool = True, film_size=None,
+                     on_progress=None):
+    """Load a scene on a worker thread (the reference's async scene-load
+    thread, D3D12App.cpp:53-68). Returns a Future; poll .done() for the
+    loading screen, .result() for the CompiledScene."""
+    import concurrent.futures
+
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+
+    def run():
+        if on_progress:
+            on_progress("parsing")
+        cs = load_scene(path, use_cache=use_cache, film_size=film_size)
+        if on_progress:
+            on_progress("done")
+        return cs
+
+    fut = pool.submit(run)
+    pool.shutdown(wait=False)
+    return fut
+
+
 def load_scene(path: str, use_cache: bool = True, film_size=None) -> CompiledScene:
     """Parse + compile a scene file, with transparent .npz caching."""
     if path.endswith(".npz"):
