@@ -32,8 +32,6 @@ import jax
 import jax.numpy as jnp
 
 from tracerboy_tpu.core import rng as tbrng
-from tracerboy_tpu.core.filters import filter_weight as eval_filter_weight
-from tracerboy_tpu.core.mathutil import dot, normalize, reflect
 from tracerboy_tpu.scene.materials import (
     LIGHT_FLAG,
     METALLIC_FLAG,
@@ -43,10 +41,6 @@ from tracerboy_tpu.scene.materials import (
     HAIR_FLAG,
 )
 from tracerboy_tpu.shade import bsdf
-from tracerboy_tpu.shade.env import sample_environment
-from tracerboy_tpu.shade.nee import sample_one_light
-from tracerboy_tpu.shade.surface import fetch_material
-from tracerboy_tpu.trace.camera import generate_primary_rays
 from tracerboy_tpu.trace.traverse import traverse_wide
 from tracerboy_tpu.trace.intersect import BIG
 
@@ -154,35 +148,6 @@ class WaveConfig:
     @property
     def use_brute_force(self):
         return self.traversal == "brute"
-
-
-def _blue_or_hash2(scene, px, py, lane, sample_index, bounce, stream, cfg, seed):
-    """2D sample: blue-noise + Cranley-Patterson for the 4 reference
-    streams on bounce 0 (RayGenCommon.h:102-122), hash RNG otherwise."""
-    if cfg.use_blue_noise and stream in (
-        tbrng.STREAM_PRIMARY_JITTER,
-        tbrng.STREAM_SECONDARY_DIR,
-        tbrng.STREAM_AREA_LIGHT,
-        tbrng.STREAM_DOF,
-    ):
-        tex = scene["blue_noise0"] if stream in (
-            tbrng.STREAM_PRIMARY_JITTER, tbrng.STREAM_SECONDARY_DIR
-        ) else scene["blue_noise1"]
-        chan = 0 if stream in (
-            tbrng.STREAM_PRIMARY_JITTER, tbrng.STREAM_AREA_LIGHT
-        ) else 2
-        noise = tex[py % 256, px % 256][..., chan : chan + 2]
-        return tbrng.apply_lds_rotation(noise, sample_index)
-    return tbrng.uniform2(lane, sample_index, bounce, stream, seed)
-
-
-def _interp3(a, b, c, u, v):
-    """Barycentric interpolation with Moller-Trumbore's (u, v): u weights
-    the second vertex, v the third."""
-    w = 1.0 - u - v
-    return (
-        a * w[..., None] + b * u[..., None] + c * v[..., None]
-    )
 
 
 def make_blue_noise_params(scene, pixel_ids, width: int):
@@ -788,20 +753,3 @@ def render_wave_batch(scene, params, pixel_ids, base_sample, k: int,
          jnp.float32(0.0), zero_aovs),
     )
     return dict(radiance=rad, filter_weight=fw, rays_traced=rays, **aovs)
-
-
-def _refract_or_reflect(direction, normal, nr, ray_dot_n):
-    """Snell refraction with TIR fallback (kernel.glsl:1530-1563).
-
-    `normal` already faces against the ray; ray_dot_n = dot(n, d) <= 0.
-    Returns (direction, tir_mask).
-    """
-    nr = nr
-    disc = 1.0 - nr * nr * (1.0 - ray_dot_n * ray_dot_n)
-    tir = disc <= EPSILON
-    refr = normalize(
-        nr[..., None] * (direction - normal * ray_dot_n[..., None])
-        - normal * jnp.sqrt(jnp.maximum(disc, 0.0))[..., None]
-    )
-    refl = reflect(direction, normal)
-    return jnp.where(tir[..., None], refl, refr), tir
