@@ -90,10 +90,11 @@ class Renderer:
         T = scene.tri_v0.shape[0]
         if T <= 2048:
             return "brute"
-        # Packed VMEM estimate: nodes 512 B/row-of-4 + tris 512 B/row-of-3
-        W = scene.bvh_children.shape[0]
-        vmem = (W // 4 + 1) * 512 + (T // scene.leaf_size // 3 + 1) * 512
-        if vmem <= 10 * 2**20:
+        # The packet kernel needs its (leaf-8) node table in VMEM
+        # (~512 B per wide node, roughly T/40 nodes); triangle clusters
+        # stream from HBM when their table exceeds the VMEM budget.
+        node_vmem = (T // 40 + 16) * 512
+        if node_vmem <= 10 * 2**20:
             return "pallas"
         return "jnp"
 

@@ -113,23 +113,32 @@ def pack_bvh(bvh: WideBVH, tri_v0, tri_v1, tri_v2):
 
 
 def _traverse_kernel(o_ref, d_ref, tmax_ref, nodes_ref, tris_ref,
-                     t_out, tri_out, u_out, v_out, stack_ref):
-    """Traverse PACKETS_PER_BLOCK packets sequentially in one program."""
+                     t_out, tri_out, u_out, v_out, stack_ref,
+                     tri_scratch=None, tri_sem=None):
+    """Traverse PACKETS_PER_BLOCK packets sequentially in one program.
+
+    When tri_scratch/tri_sem are provided, `tris_ref` lives in HBM and
+    leaf cluster rows are DMA'd on demand (the large-scene variant —
+    700k-tri scenes whose cluster table exceeds VMEM).
+    """
     import jax.lax as lax
     from jax.experimental import pallas as pl
 
     def one_packet(pp, _):
         _traverse_one(pp, o_ref, d_ref, tmax_ref, nodes_ref, tris_ref,
-                      t_out, tri_out, u_out, v_out, stack_ref)
+                      t_out, tri_out, u_out, v_out, stack_ref,
+                      tri_scratch, tri_sem)
         return 0
 
     jax.lax.fori_loop(0, o_ref.shape[0], one_packet, 0)
 
 
 def _traverse_one(pp, o_ref, d_ref, tmax_ref, nodes_ref, tris_ref,
-                  t_out, tri_out, u_out, v_out, stack_ref):
+                  t_out, tri_out, u_out, v_out, stack_ref,
+                  tri_scratch=None, tri_sem=None):
     import jax.lax as lax
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     ox = o_ref[pp, 0, :]
     oy = o_ref[pp, 1, :]
@@ -189,7 +198,16 @@ def _traverse_one(pp, o_ref, d_ref, tmax_ref, nodes_ref, tris_ref,
 
         def leaf_tris(cluster, carry):
             t_best, tri_best, u_best, v_best = carry
-            trow = tris_ref[pl.ds(cluster, 1), :]   # (1, 128) f32
+            if tri_scratch is not None:
+                # Stream the cluster row from HBM.
+                dma = pltpu.make_async_copy(
+                    tris_ref.at[pl.ds(cluster, 1), :], tri_scratch, tri_sem
+                )
+                dma.start()
+                dma.wait()
+                trow = tri_scratch[:, :]
+            else:
+                trow = tris_ref[pl.ds(cluster, 1), :]   # (1, 128) f32
             for k in range(LEAF):
                 b = k * 9
                 v0x, v0y, v0z = trow[0, b], trow[0, b + 1], trow[0, b + 2]
@@ -263,13 +281,16 @@ def _traverse_one(pp, o_ref, d_ref, tmax_ref, nodes_ref, tris_ref,
     v_out[pp, 0, :] = v_best
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def traverse_packets(orig, direc, t_max, packed, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "tris_in_hbm"))
+def traverse_packets(orig, direc, t_max, packed, interpret: bool = False,
+                     tris_in_hbm: bool = False):
     """Closest-hit packet traversal.
 
     orig/direc: (N, 3), N a multiple of PACKET (caller sorts + pads into
     coherent packets). Returns (t, tri_packed, u, v); map tri ids through
-    packed["tri_map"] for scene order.
+    packed["tri_map"] for scene order. tris_in_hbm streams leaf cluster
+    rows by DMA instead of keeping the whole table in VMEM (scenes whose
+    cluster table exceeds ~10 MB, e.g. vw-van's 700k triangles).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -306,7 +327,9 @@ def traverse_packets(orig, direc, t_max, packed, interpret: bool = False):
             pl.BlockSpec((PPB, 1, PACKET), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # tris
+            pl.BlockSpec(
+                memory_space=pltpu.ANY if tris_in_hbm else pltpu.VMEM
+            ),                                       # tris
         ],
         out_specs=[
             pl.BlockSpec((PPB, 1, PACKET), lambda i: (i, 0, 0),
@@ -318,7 +341,11 @@ def traverse_packets(orig, direc, t_max, packed, interpret: bool = False):
             pl.BlockSpec((PPB, 1, PACKET), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        scratch_shapes=(
+            [pltpu.SMEM((STACK_DEPTH,), jnp.int32)]
+            + ([pltpu.VMEM((1, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA(())] if tris_in_hbm else [])
+        ),
     )
 
     t, tri, u, v = pl.pallas_call(

@@ -101,7 +101,12 @@ def _pallas_closest(scene, origin, direction, t_max, shadow: bool):
 
     prefix = "pk_sh_" if shadow else "pk_"
     packed = dict(nodes=scene[prefix + "nodes"], tris=scene[prefix + "tris"])
-    t, tri, u, v = traverse_packets(o_s, d_s, tmax_p, packed)
+    # Static scene fact: stream leaf clusters from HBM when the table
+    # exceeds the VMEM budget (vw-van-scale scenes).
+    tris_in_hbm = packed["tris"].shape[0] * 512 > 10 * 2**20
+    t, tri, u, v = traverse_packets(
+        o_s, d_s, tmax_p, packed, tris_in_hbm=tris_in_hbm
+    )
     # Packed tri ids -> scene tri order.
     tri_map = scene[prefix + "tri_map"]
     tri = jnp.where(tri >= 0, tri_map[jnp.clip(tri, 0, None)], -1)
