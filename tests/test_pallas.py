@@ -84,8 +84,8 @@ def test_end_to_end_render_parity(tmp_path):
 
     orig = pt.traverse_packets
 
-    def patched(o, d, tm, packed, interpret=False):
-        return orig(o, d, tm, packed, interpret=True)
+    def patched(o, d, tm, packed, interpret=False, **kw):
+        return orig(o, d, tm, packed, interpret=True, **kw)
 
     pt.traverse_packets = patched
     try:

@@ -90,11 +90,14 @@ class Renderer:
         T = scene.tri_v0.shape[0]
         if T <= 2048:
             return "brute"
-        # The packet kernel needs its (leaf-8) node table in VMEM
-        # (~512 B per wide node, roughly T/40 nodes); triangle clusters
-        # stream from HBM when their table exceeds the VMEM budget.
-        node_vmem = (T // 40 + 16) * 512
-        if node_vmem <= 10 * 2**20:
+        # The packet kernel keeps nodes + triangle clusters in VMEM;
+        # ~512 B per wide node (~T/40) plus 512 B per 8-tri cluster.
+        # (The HBM cluster-streaming variant exists behind
+        # traverse_packets(tris_in_hbm=True) but faulted on hardware —
+        # kept experimental until the DMA path is hardened.)
+        vmem = (T // 40 + 16) * 512 + (T // 8 + 3) * 512
+        # 13 MB measured to fit alongside ray blocks on v5e (teapot).
+        if vmem <= 13 * 2**20:
             return "pallas"
         return "jnp"
 

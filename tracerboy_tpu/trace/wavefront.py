@@ -102,7 +102,9 @@ def _pallas_closest(scene, origin, direction, t_max, shadow: bool):
     prefix = "pk_sh_" if shadow else "pk_"
     packed = dict(nodes=scene[prefix + "nodes"], tris=scene[prefix + "tris"])
     # Static scene fact: stream leaf clusters from HBM when the table
-    # exceeds the VMEM budget (vw-van-scale scenes).
+    # exceeds the VMEM budget. NOTE: experimental — the renderer backend
+    # policy avoids this path until the DMA variant is hardened on
+    # hardware (worker fault observed on vw-van).
     tris_in_hbm = packed["tris"].shape[0] * 512 > 10 * 2**20
     t, tri, u, v = traverse_packets(
         o_s, d_s, tmax_p, packed, tris_in_hbm=tris_in_hbm
