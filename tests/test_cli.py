@@ -1,0 +1,84 @@
+"""CLI end-to-end tests (in-process main())."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tracerboy_tpu.app.cli import build_parser, main
+
+
+@pytest.fixture
+def tiny_scene(tmp_path):
+    p = tmp_path / "s.pbrt"
+    p.write_text("""
+        LookAt 0 2 4  0 0 0  0 1 0
+        Camera "perspective" "float fov" [ 35 ]
+        Film "image" "integer xresolution" [ 32 ] "integer yresolution" [ 24 ]
+        WorldBegin
+        LightSource "infinite" "rgb L" [ 1 1 1 ]
+        Material "matte" "rgb Kd" [ 0.6 0.4 0.3 ]
+        Shape "trianglemesh" "integer indices" [ 0 1 2 0 2 3 ]
+          "point P" [ -5 0 -5  5 0 -5  5 0 5  -5 0 5 ]
+        WorldEnd
+    """)
+    return str(p)
+
+
+def test_parser_flags():
+    p = build_parser()
+    args = p.parse_args(
+        ["scene.pbrt", "--spp", "8", "--size", "64x48", "--tonemap", "aces",
+         "--ris", "--no-auto-exposure", "--aov", "normal",
+         "--denoiser", "oidn", "--upscale", "fsr"]
+    )
+    assert args.spp == 8 and args.size == "64x48"
+    assert args.tonemap == "aces" and args.ris
+    assert args.aov == "normal" and args.denoiser == "oidn"
+
+
+def test_render_to_png_and_exr(tiny_scene, tmp_path):
+    out = str(tmp_path / "out.png")
+    hdr = str(tmp_path / "out.exr")
+    rc = main([tiny_scene, "--spp", "2", "--out", out, "--hdr-out", hdr,
+               "--quiet"])
+    assert rc == 0
+    assert os.path.exists(out) and os.path.exists(hdr)
+    from tracerboy_tpu.core.image_io import read_exr_rgb, read_ldr
+
+    img = read_ldr(out)
+    assert img.shape == (24, 32, 3)
+    rad = read_exr_rgb(hdr)
+    assert np.isfinite(rad).all()
+
+
+def test_aov_output(tiny_scene, tmp_path):
+    out = str(tmp_path / "n.png")
+    rc = main([tiny_scene, "--spp", "1", "--out", out, "--aov", "normal",
+               "--quiet"])
+    assert rc == 0
+    from tracerboy_tpu.core.image_io import read_ldr
+
+    img = read_ldr(out)
+    # Floor normal +y -> green-dominant in the 0.5+0.5*n encoding.
+    center = img[12, 16]
+    assert center[1] > 0.9
+
+
+def test_capture_sequence(tiny_scene, tmp_path):
+    out = str(tmp_path / "cap.png")
+    rc = main([tiny_scene, "--spp", "8", "--out", out, "--capture-every",
+               "4", "--quiet"])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "cap_00004.png"))
+    assert os.path.exists(str(tmp_path / "cap_00008.png"))
+
+
+def test_upscale_fsr(tiny_scene, tmp_path):
+    out = str(tmp_path / "up.png")
+    rc = main([tiny_scene, "--spp", "1", "--out", out, "--upscale", "fsr",
+               "--quiet"])
+    assert rc == 0
+    from tracerboy_tpu.core.image_io import read_ldr
+
+    assert read_ldr(out).shape == (48, 64, 3)
