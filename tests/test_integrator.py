@@ -169,3 +169,41 @@ class TestAOVs:
         np.testing.assert_allclose(
             img[8:24, 8:24].mean(axis=(0, 1)), [0.9, 0.1, 0.1], atol=0.01
         )
+
+
+class TestBenchPath:
+    def test_want_aovs_false_matches_radiance(self, tmp_path):
+        """The AOV-free bench configuration produces identical radiance."""
+        import dataclasses
+        import jax.numpy as jnp
+        from functools import partial
+        import tests.conftest as c
+        from tracerboy_tpu.scene.compile import load_scene
+        from tracerboy_tpu.trace.wavefront import (
+            WaveConfig, render_wave, make_blue_noise_params,
+        )
+
+        path = c.require_scene("cornell-box/scene.pbrt")
+        cs = load_scene(path, use_cache=False, film_size=(32, 24))
+        scene = cs.as_pytree()
+        base = dict(
+            width=32, height=24, max_bounces=4, leaf_size=cs.leaf_size,
+            num_lights=cs.num_lights, has_env=cs.has_env,
+            traversal="brute", has_mix=False, has_textures=False,
+        )
+        ids = jnp.arange(32 * 24, dtype=jnp.int32)
+        params = dict(
+            dof_focus=jnp.float32(0), dof_aperture=jnp.float32(0),
+            firefly_clamp=jnp.float32(0), seed=jnp.int32(0),
+            bn=make_blue_noise_params(scene, ids, 32),
+        )
+        full = render_wave(scene, params, ids, jnp.int32(0),
+                           WaveConfig(**base, want_aovs=True))
+        lean = render_wave(scene, params, ids, jnp.int32(0),
+                           WaveConfig(**base, want_aovs=False))
+        np.testing.assert_allclose(
+            np.asarray(full["radiance_r"]), np.asarray(lean["radiance_r"]),
+            atol=1e-6,
+        )
+        assert "albedo" not in lean and "albedo" in full
+        assert float(lean["rays_traced"]) == float(full["rays_traced"])

@@ -196,7 +196,6 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         sample_cosine_hemisphere_soa,
         sample_ggx_reflection_soa,
         sample_uniform_sphere_soa,
-        sample_uniform_sphere_soa as _sph,
         specular_weight_soa,
     )
     from tracerboy_tpu.shade.env import sample_environment_soa
