@@ -226,7 +226,8 @@ def sample_one_light(
     use_ris: bool = False,
     seed=0,
 ):
-    """Sample one light per lane.
+    """Reference (array-of-structs) light sampler; the hot path uses
+    sample_one_light_soa. Kept as the readable cross-check used by tests.
 
     Returns dict(direction, color, pdf, normal, attenuation, distance):
     direction normalized; pdf in the reference's area-measure convention so

@@ -253,7 +253,10 @@ def fetch_material(
     has_mix: bool = True,
     has_textures: bool = True,
 ):
-    """Gather material properties for a wave of hits.
+    """Reference (array-of-structs) material fetch.
+
+    The hot path uses fetch_material_soa above; this variant is kept as
+    the readable cross-check implementation used by unit tests.
 
     Returns a dict of per-lane arrays: albedo, emissive, ior, roughness,
     absorption, scattering, specular_coef, flags. Handles: backside

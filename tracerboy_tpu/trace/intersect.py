@@ -67,11 +67,11 @@ def ray_aabb(orig, inv_dir, lo, hi, t_max):
 
 
 def brute_force_closest(orig, direc, v0, v1, v2, t_max=None):
-    """Closest hit over all triangles by exhaustive test.
+    """Closest hit over all triangles by exhaustive (N, T) broadcast.
 
-    orig/direc: (N, 3); v0/v1/v2: (T, 3). Returns (t, tri_id, u, v); tri_id
-    is -1 where missed. O(N*T) on the VPU — the ground truth for traversal
-    tests and the fast path for tiny scenes.
+    The ground-truth oracle for traversal tests. The production brute
+    backend uses brute_force_closest_soa below (dense layouts); this
+    broadcast form pads its minor dims on TPU and is test-only.
     """
     t, u, v, hit = ray_triangle(
         orig[:, None, :], direc[:, None, :], v0[None], v1[None], v2[None],
