@@ -11,6 +11,9 @@ governor (TracerBoy.cpp:2691-2727).
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 from tracerboy_tpu.post.denoise import denoise
@@ -38,18 +41,56 @@ def realtime_frame(
     denoiser_settings,
     history_weight: float = 0.95,
 ):
-    """One RealTime frame. Returns (display_color, new_history)."""
+    """One RealTime frame. Returns (display_color, new_history).
+
+    Convenience wrapper around the fused jitted pipeline; first-frame
+    (empty history) is handled here so the jitted body stays static.
+    """
     H, W = raw_indirect.shape[:2]
     zeros3 = jnp.zeros((H, W, 3), jnp.float32)
     first = history.get("indirect") is None
-    hist_ind = history.get("indirect") if not first else zeros3
-    hist_mom = history.get("moments") if not first else zeros3
-    hist_fin = history.get("final") if not first else zeros3
-    prev_wp = (
-        history.get("prev_world_pos")
-        if history.get("prev_world_pos") is not None
-        else aovs["world_pos"]
+    hist = dict(
+        indirect=history.get("indirect") if not first else zeros3,
+        moments=history.get("moments") if not first else zeros3,
+        final=history.get("final") if not first else zeros3,
+        prev_world_pos=(
+            history.get("prev_world_pos")
+            if history.get("prev_world_pos") is not None
+            else aovs["world_pos"]
+        ),
     )
+    display, new_history = _realtime_frame_jit(
+        raw_indirect, aovs, hist, cam_prev, lens_height,
+        denoiser_settings=denoiser_settings,
+        history_weight=history_weight, ignore_history=first,
+    )
+    return display, new_history
+
+
+@partial(
+    jax.jit,
+    static_argnames=("denoiser_settings", "history_weight",
+                     "ignore_history"),
+)
+def _realtime_frame_jit(
+    raw_indirect,
+    aovs,
+    history,
+    cam_prev,
+    lens_height,
+    denoiser_settings,
+    history_weight: float,
+    ignore_history: bool,
+):
+    """The whole RealTime post chain (TAA -> a-trous xN -> composite ->
+    TAA) as ONE program — separate dispatches cost ~20 ms each over the
+    remote TPU attachment (measured 3.4 FPS unfused)."""
+    H, W = raw_indirect.shape[:2]
+    first = ignore_history
+    hist_ind = history["indirect"]
+    hist_mom = history["moments"]
+    hist_fin = history["final"]
+    prev_wp = history["prev_world_pos"]
 
     # TAA #1 on indirect lighting, producing variance in alpha.
     taa_ind, new_moments = temporal_accumulate(
