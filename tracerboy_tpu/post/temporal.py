@@ -95,31 +95,29 @@ def temporal_accumulate(
     base = jnp.floor(fxy).astype(jnp.int32)
     frac = fxy - base
 
-    hist_flat = [history[..., c].reshape(-1) for c in range(3)]
-    mom_flat = [moment_history[..., c].reshape(-1) for c in range(3)]
-    pw_flat = [prev_world_pos[..., c].reshape(-1) for c in range(3)]
+    # One packed row gather per tap (history rgb + moments + prev world
+    # position = 9 channels): 4 row gathers instead of 36 scalar gathers
+    # — gather cost on TPU scales with index count, not row width.
+    packed = jnp.concatenate(
+        [history, moment_history, prev_world_pos[..., :3]], axis=-1
+    ).reshape(H * W, 9)
 
-    prev_c = [jnp.zeros((H, W), jnp.float32) for _ in range(3)]
-    prev_m = [jnp.zeros((H, W), jnp.float32) for _ in range(3)]
+    prev_color = jnp.zeros((H, W, 3), jnp.float32)
+    prev_moment = jnp.zeros((H, W, 3), jnp.float32)
     weight_sum = jnp.zeros((H, W), jnp.float32)
     for dx in (0, 1):
         for dy in (0, 1):
             ix = jnp.clip(base[..., 0] + dx, 0, W - 1)
             iy = jnp.clip(base[..., 1] + dy, 0, H - 1)
-            flat = iy * W + ix
-            dxp = pw_flat[0][flat] - wp[..., 0]
-            dyp = pw_flat[1][flat] - wp[..., 1]
-            dzp = pw_flat[2][flat] - wp[..., 2]
-            ok = jnp.sqrt(dxp * dxp + dyp * dyp + dzp * dzp) < dist_tol
+            rows = packed[iy * W + ix]          # (H, W, 9)
+            dp = rows[..., 6:9] - wp
+            ok = jnp.linalg.norm(dp, axis=-1) < dist_tol
             wx = jnp.where(dx == 0, 1.0 - frac[..., 0], frac[..., 0])
             wy = jnp.where(dy == 0, 1.0 - frac[..., 1], frac[..., 1])
             wgt = jnp.where(ok, wx * wy, 0.0)
-            for c in range(3):
-                prev_c[c] = prev_c[c] + hist_flat[c][flat] * wgt
-                prev_m[c] = prev_m[c] + mom_flat[c][flat] * wgt
+            prev_color = prev_color + rows[..., 0:3] * wgt[..., None]
+            prev_moment = prev_moment + rows[..., 3:6] * wgt[..., None]
             weight_sum = weight_sum + wgt
-    prev_color = jnp.stack(prev_c, axis=-1)
-    prev_moment = jnp.stack(prev_m, axis=-1)
 
     valid = in_bounds & hit_valid & (weight_sum > 0.0)
     if ignore_history:
