@@ -305,9 +305,12 @@ class Renderer:
         self._last_aovs = out
 
     # -- RealTime mode (1 spp + TAA + denoise, TracerBoy.cpp:3062-3160) --
-    def render_realtime_frame(self) -> np.ndarray:
+    def render_realtime_frame(self, as_numpy: bool = True):
         """One RealTime frame: 1-spp demodulated trace -> TAA -> a-trous
-        -> albedo composite -> TAA -> display transform."""
+        -> albedo composite -> TAA -> display transform.
+
+        as_numpy=False returns the device array (skips host readback —
+        which dominates frame time on network-attached TPUs)."""
         from tracerboy_tpu.core.rng import halton23
         from tracerboy_tpu.post.pipeline import display_transform
         from tracerboy_tpu.post.realtime import realtime_frame
@@ -350,7 +353,7 @@ class Renderer:
             display, ps.exposure_multiplier, int(ps.tonemap_type),
             ps.enable_gamma_correction, ps.enable_auto_exposure,
         )
-        return np.asarray(img)
+        return np.asarray(img) if as_numpy else img
 
     # -- readout ---------------------------------------------------------
     def resolve_radiance(self) -> jnp.ndarray:
