@@ -305,6 +305,81 @@ class Renderer:
         self._last_aovs = out
 
     # -- RealTime mode (1 spp + TAA + denoise, TracerBoy.cpp:3062-3160) --
+    def render_realtime_frame_fused(self, as_numpy: bool = False):
+        """One RealTime frame as a SINGLE device program (trace + TAA +
+        denoise + composite + display) — one dispatch per frame, the
+        latency-optimal path for interactive use."""
+        from tracerboy_tpu.core.rng import halton23
+        from tracerboy_tpu.post.realtime import _realtime_frame_jit
+        from tracerboy_tpu.post.pipeline import display_transform
+        from tracerboy_tpu.trace.wavefront import render_wave
+
+        h, w = self.height, self.width
+        cfg = self.wave_config()
+        frame = self.state.spp
+        if not hasattr(self, "_rt_hist_fused"):
+            z3 = _zeros(h, w, 3)
+            self._rt_hist_fused = dict(
+                indirect=z3, moments=z3, final=z3,
+                prev_world_pos=_zeros(h, w, 4),
+            )
+        first = frame == 0
+        cam_prev = getattr(self, "_cam_prev", None) or self.scene_pytree["camera"]
+        s = self.settings
+
+        if not hasattr(self, "_rt_step"):
+            import functools
+
+            @functools.partial(
+                jax.jit,
+                static_argnames=("cfg", "den", "tonemap_type", "gamma",
+                                 "auto_exp", "first"),
+            )
+            def step(scene, params, pixel_ids, sample_index, history,
+                     cam_prev_, cfg, den, tonemap_type, gamma, auto_exp,
+                     first):
+                out = render_wave(scene, params, pixel_ids, sample_index,
+                                  cfg)
+                raw = out["radiance"].reshape(h, w, 3)
+                aovs = dict(
+                    albedo=out["albedo"].reshape(h, w, 3),
+                    normal=out["normal"].reshape(h, w, 3),
+                    world_pos=jnp.concatenate(
+                        [out["world_pos"].reshape(h, w, 3),
+                         out["neighbor_dist"].reshape(h, w, 1)], axis=-1,
+                    ),
+                    emissive=out["emissive"].reshape(h, w, 3),
+                    diffuse_contrib=out["diffuse_contrib"].reshape(h, w),
+                )
+                display, new_hist = _realtime_frame_jit(
+                    raw, aovs, history, cam_prev_,
+                    scene["camera"]["lens_height"],
+                    denoiser_settings=den, history_weight=0.95,
+                    ignore_history=first,
+                )
+                img = display_transform(
+                    display, 1.0, tonemap_type, gamma, auto_exp
+                )
+                return img, new_hist
+
+            self._rt_step = step
+        step = self._rt_step
+
+        offset = halton23(jnp.int32(frame))
+        img, self._rt_hist_fused = step(
+            self.scene_pytree, self.frame_params(fixed_offset=offset),
+            jnp.arange(w * h, dtype=jnp.int32), jnp.int32(frame),
+            self._rt_hist_fused, cam_prev, cfg,
+            s.denoiser_settings, int(s.post_settings.tonemap_type),
+            s.post_settings.enable_gamma_correction,
+            s.post_settings.enable_auto_exposure, bool(first),
+        )
+        self.state.spp += 1
+        self._cam_prev = jax.tree_util.tree_map(
+            lambda x: x, self.scene_pytree["camera"]
+        )
+        return np.asarray(img) if as_numpy else img
+
     def render_realtime_frame(self, as_numpy: bool = True):
         """One RealTime frame: 1-spp demodulated trace -> TAA -> a-trous
         -> albedo composite -> TAA -> display transform.
