@@ -87,7 +87,7 @@ def run_viewer(renderer, samples_per_frame: int = 1):
     while plt.fignum_exists(fig.number):
         t0 = time.time()
         if renderer.settings.render_mode == RenderMode.REAL_TIME:
-            img = renderer.render_realtime_frame()
+            img = renderer.render_realtime_frame_fused(as_numpy=True)
         else:
             renderer.render_sample(samples_per_frame)
             img = renderer.current_image()
