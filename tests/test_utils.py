@@ -1,0 +1,109 @@
+"""Utility module tests: gather, profiling, checkpoint, config."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tracerboy_tpu.core.gather import take_rows
+from tracerboy_tpu.utils.config import (
+    default_output_settings,
+    invalidates_history,
+)
+from tracerboy_tpu.utils.profiling import FrameStats, scope
+
+
+class TestGather:
+    def test_one_hot_matches_take_float(self, rng):
+        table = jnp.asarray(rng.random((8, 5)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 8, 100).astype(np.int32))
+        np.testing.assert_allclose(
+            np.asarray(take_rows(table, idx)), np.asarray(table[idx]),
+            rtol=1e-6,
+        )
+
+    def test_one_hot_matches_take_int(self, rng):
+        table = jnp.asarray(
+            rng.integers(-4, 1 << 20, (16, 3)).astype(np.int32)
+        )
+        idx = jnp.asarray(rng.integers(0, 16, 64).astype(np.int32))
+        np.testing.assert_array_equal(
+            np.asarray(take_rows(table, idx)), np.asarray(table[idx])
+        )
+
+    def test_large_table_falls_back_to_gather(self, rng):
+        table = jnp.asarray(rng.random((1000, 2)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 1000, 32).astype(np.int32))
+        np.testing.assert_array_equal(
+            np.asarray(take_rows(table, idx)), np.asarray(table[idx])
+        )
+
+
+class TestConfig:
+    def test_post_changes_keep_history(self):
+        import dataclasses
+
+        s = default_output_settings()
+        s2 = s.replace(post_settings=dataclasses.replace(
+            s.post_settings, exposure_multiplier=2.0))
+        assert not invalidates_history(s, s2)
+
+    def test_camera_changes_invalidate(self):
+        import dataclasses
+
+        s = default_output_settings()
+        s2 = s.replace(camera_settings=dataclasses.replace(
+            s.camera_settings, dof_focus_distance=3.0))
+        assert invalidates_history(s, s2)
+
+    def test_bounce_change_invalidates(self):
+        import dataclasses
+
+        s = default_output_settings()
+        s2 = s.replace(performance_settings=dataclasses.replace(
+            s.performance_settings, max_bounces=3))
+        assert invalidates_history(s, s2)
+
+
+class TestProfiling:
+    def test_frame_stats(self):
+        import time
+
+        fs = FrameStats(window=4)
+        for _ in range(3):
+            with fs.time_pass("trace"):
+                time.sleep(0.002)
+        fs.add_counter("rays", 1e6)
+        assert fs.mean_ms("trace") >= 1.0
+        assert fs.mean_counter("rays") == 1e6
+        assert "trace" in fs.summary() and "rays" in fs.summary()
+
+    def test_scope_nests(self):
+        with scope("outer"):
+            with scope("inner"):
+                x = jnp.sum(jnp.arange(4.0))
+        assert float(x) == 6.0
+
+
+class TestCheckpoint:
+    def test_resolution_mismatch_rejected(self, tmp_path):
+        import tests.conftest as c
+        from tracerboy_tpu import Renderer
+        from tracerboy_tpu.utils.checkpoint import (
+            load_render_checkpoint,
+            save_render_checkpoint,
+        )
+
+        path = c.require_scene("cornell-box/scene.pbrt")
+        r1 = Renderer(path, film_size=(16, 12))
+        r1.render_sample(2)
+        ck = str(tmp_path / "ck.npz")
+        save_render_checkpoint(ck, r1)
+
+        r2 = Renderer(path, film_size=(32, 24))
+        assert not load_render_checkpoint(ck, r2)  # shape mismatch
+        r3 = Renderer(path, film_size=(16, 12))
+        assert load_render_checkpoint(ck, r3)
+        assert r3.state.spp == 2
+        np.testing.assert_array_equal(
+            np.asarray(r3.state.accum), np.asarray(r1.state.accum)
+        )
