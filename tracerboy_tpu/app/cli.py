@@ -147,9 +147,14 @@ def main(argv=None):
 
     if args.mode == "realtime":
         for f in range(args.frames):
-            img = r.render_realtime_frame()
+            img = r.render_realtime_frame_fused(
+                as_numpy=(f == args.frames - 1)
+            )
             if f % 10 == 0:
                 log(f"frame {f}")
+        import numpy as _np
+
+        img = _np.asarray(img)
     else:
         target = args.spp or r.compiled.sampler_spp
         batch = 4
