@@ -70,7 +70,10 @@ def render_spp_sharded(mesh, scene, params, pixel_ids, base_sample, cfg,
     ICI with psum inside shard_map. Returns the replicated accumulated
     (radiance_sum, weight_sum, rays_traced).
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     ndev = mesh.devices.size
     dev_ids = jnp.arange(ndev, dtype=jnp.int32)
