@@ -102,3 +102,36 @@ def test_end_to_end_render_parity(tmp_path):
         pt.traverse_packets = orig
         os.environ.pop("TB_TRAVERSAL", None)
     np.testing.assert_allclose(img1, img2, atol=1e-4)
+
+
+@pytest.mark.parametrize("backend", ["brute", "jnp", "pallas"])
+def test_set_material_rebuilds_backend_pytree(backend):
+    """Live material edit must rebuild the scene pytree with the same
+    backend packing (regression: the pallas path lost pk_* arrays after
+    set_material and the next render_wave KeyError'd)."""
+    import os
+    import tracerboy_tpu.trace.pallas_traverse as pt
+    from tracerboy_tpu import Renderer
+    import tests.conftest as c
+
+    path = c.require_scene("cornell-box/scene.pbrt")
+    orig = pt.traverse_packets
+
+    def patched(o, d, tm, packed, interpret=False, **kw):
+        return orig(o, d, tm, packed, interpret=True, **kw)
+
+    pt.traverse_packets = patched
+    try:
+        os.environ["TB_TRAVERSAL"] = backend
+        r = Renderer(path, film_size=(16, 16))
+        assert r.traversal == backend
+        r.render_sample()
+        r.set_material(0, albedo=[0.9, 0.1, 0.1])
+        if backend == "pallas":
+            assert "pk_nodes" in r.scene_pytree
+        r.render_sample()
+        img = np.asarray(r.resolve_radiance())
+        assert np.isfinite(img).all()
+    finally:
+        pt.traverse_packets = orig
+        os.environ.pop("TB_TRAVERSAL", None)

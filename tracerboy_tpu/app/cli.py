@@ -131,7 +131,7 @@ def main(argv=None):
     )
 
     log(f"loading {args.scene} ...")
-    r = Renderer(args.scene, settings=s, film_size=film)
+    r = Renderer(args.scene, settings=s, film_size=film, seed=args.seed)
     log(f"scene ready: {r.compiled.num_tris} tris, "
         f"{r.compiled.num_lights} lights, {r.width}x{r.height}, "
         f"{len(r.compiled.materials['flags'])} materials")

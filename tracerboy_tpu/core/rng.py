@@ -27,7 +27,8 @@ STREAM_RUSSIAN_ROULETTE = 8
 STREAM_SPECULAR_SELECT = 9
 STREAM_LIGHT_SELECT = 10
 STREAM_RIS = 11                # 2*16 dims reserved for reservoir sampling
-STREAM_SSS = 48                # scattering walk
+STREAM_SSS = 48                # scattering walk (uses 48-49)
+STREAM_MIX = 50                # mix-material resolution coin
 STREAM_ACCUM_JITTER = 64       # jittered-accumulator coin flip
 NUM_STREAMS = 80
 

@@ -47,17 +47,27 @@ def shard_pixels(mesh: Mesh, width: int, height: int):
     return jax.device_put(ids, sharding), pad
 
 
+# Jitted callables are cached per (mesh, cfg[, spd]) — rebuilding the jit
+# wrapper every call would retrace and recompile the whole wavefront
+# program each frame.
+_tiled_cache: dict = {}
+_spp_cache: dict = {}
+
+
 def render_wave_tiled(mesh, scene, params, pixel_ids, sample_index, cfg):
     """Tile-sharded render step: pixel pool split over the mesh, scene
     replicated; no collectives in the hot path."""
-    replicated = NamedSharding(mesh, P())
-    sharded = NamedSharding(mesh, P("tiles"))
-
-    fn = jax.jit(
-        partial(render_wave, cfg=cfg),
-        in_shardings=(replicated, replicated, sharded, replicated),
-        out_shardings=None,  # propagate: per-ray outputs stay tile-sharded
-    )
+    key = (id(mesh), cfg)
+    fn = _tiled_cache.get(key)
+    if fn is None:
+        replicated = NamedSharding(mesh, P())
+        sharded = NamedSharding(mesh, P("tiles"))
+        fn = jax.jit(
+            partial(render_wave, cfg=cfg),
+            in_shardings=(replicated, replicated, sharded, replicated),
+            out_shardings=None,  # per-ray outputs stay tile-sharded
+        )
+        _tiled_cache[key] = fn
     return fn(scene, params, pixel_ids, sample_index)
 
 
@@ -78,35 +88,41 @@ def render_spp_sharded(mesh, scene, params, pixel_ids, base_sample, cfg,
     ndev = mesh.devices.size
     dev_ids = jnp.arange(ndev, dtype=jnp.int32)
 
-    def per_device(dev_id, scene_l, params_l, pixel_ids_l):
-        dev = dev_id[0]
-        # Tie carries to the device id so their device-varying type is
-        # stable across fori_loop iterations.
-        vz = dev.astype(jnp.float32) * 0.0
-        rad = jnp.zeros((pixel_ids_l.shape[0], 3), jnp.float32) + vz
-        fw = jnp.zeros((pixel_ids_l.shape[0],), jnp.float32) + vz
-        rays = vz
+    key = (id(mesh), cfg, samples_per_device)
+    fn = _spp_cache.get(key)
+    if fn is None:
+        def per_device(dev_id, base_l, scene_l, params_l, pixel_ids_l):
+            dev = dev_id[0]
+            # Tie carries to the device id so their device-varying type
+            # is stable across fori_loop iterations.
+            vz = dev.astype(jnp.float32) * 0.0
+            rad = jnp.zeros((pixel_ids_l.shape[0], 3), jnp.float32) + vz
+            fw = jnp.zeros((pixel_ids_l.shape[0],), jnp.float32) + vz
+            rays = vz
 
-        def body(k, carry):
-            rad, fw, rays = carry
-            s_idx = base_sample + dev * samples_per_device + k
-            out = render_wave(scene_l, params_l, pixel_ids_l, s_idx, cfg)
-            return (rad + out["radiance"], fw + out["filter_weight"],
-                    rays + out["rays_traced"])
+            def body(k, carry):
+                rad, fw, rays = carry
+                s_idx = base_l + dev * samples_per_device + k
+                out = render_wave(scene_l, params_l, pixel_ids_l, s_idx,
+                                  cfg)
+                return (rad + out["radiance"], fw + out["filter_weight"],
+                        rays + out["rays_traced"])
 
-        rad, fw, rays = jax.lax.fori_loop(
-            0, samples_per_device, body, (rad, fw, rays)
-        )
-        # Merge accumulators across the mesh over ICI.
-        rad = jax.lax.psum(rad, "tiles")
-        fw = jax.lax.psum(fw, "tiles")
-        rays = jax.lax.psum(rays, "tiles")
-        return rad, fw, rays
+            rad, fw, rays = jax.lax.fori_loop(
+                0, samples_per_device, body, (rad, fw, rays)
+            )
+            # Merge accumulators across the mesh over ICI.
+            rad = jax.lax.psum(rad, "tiles")
+            fw = jax.lax.psum(fw, "tiles")
+            rays = jax.lax.psum(rays, "tiles")
+            return rad, fw, rays
 
-    fn = shard_map(
-        per_device,
-        mesh=mesh,
-        in_specs=(P("tiles"), P(), P(), P()),
-        out_specs=(P(), P(), P()),
-    )
-    return jax.jit(fn)(dev_ids, scene, params, pixel_ids)
+        fn = jax.jit(shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P("tiles"), P(), P(), P(), P()),
+            out_specs=(P(), P(), P()),
+        ))
+        _spp_cache[key] = fn
+    return fn(dev_ids, jnp.asarray(base_sample, jnp.int32), scene, params,
+              pixel_ids)

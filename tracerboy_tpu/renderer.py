@@ -59,11 +59,13 @@ class Renderer:
         scene,
         settings: OutputSettings | None = None,
         film_size: tuple | None = None,
+        seed: int = 0,
     ):
         if isinstance(scene, str):
             scene = load_scene(scene, film_size=film_size)
         assert isinstance(scene, CompiledScene)
         self.compiled = scene
+        self.seed = int(seed)
         self.settings = settings or default_output_settings()
         self.width = scene.film_width
         self.height = scene.film_height
@@ -133,9 +135,15 @@ class Renderer:
         from tracerboy_tpu.trace import wavefront as _wf
 
         jax.clear_caches()
-        importlib.reload(_wf)
+        new_wf = importlib.reload(_wf)
+        # Rebind this module's imported names so the single-sample and
+        # realtime paths pick up the reloaded integrator too.
+        globals()["render_wave"] = new_wf.render_wave
+        globals()["WaveConfig"] = new_wf.WaveConfig
         if hasattr(self, "_bn_cache"):
             del self._bn_cache
+        if hasattr(self, "_rt_step"):
+            del self._rt_step
         self.invalidate_history()
 
     # -- camera update (TracerBoy::Update, TracerBoy.cpp:3386-3500) ------
@@ -204,7 +212,7 @@ class Renderer:
             dof_focus=jnp.float32(s.camera_settings.dof_focus_distance),
             dof_aperture=jnp.float32(s.camera_settings.dof_aperture_width),
             firefly_clamp=jnp.float32(s.fireflies_clamp),
-            seed=jnp.int32(0),
+            seed=jnp.int32(self.seed),
         )
         if s.performance_settings.use_blue_noise:
             if not hasattr(self, "_bn_cache"):
@@ -533,5 +541,7 @@ class Renderer:
             arr = np.asarray(self.compiled.materials[k])
             arr[material_id] = v
             self.compiled.materials[k] = arr
-        self.scene_pytree = self.compiled.as_pytree()
+        self.scene_pytree = self.compiled.as_pytree(
+            pack_pallas=(self.traversal == "pallas")
+        )
         self.invalidate_history()

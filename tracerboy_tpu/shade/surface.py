@@ -178,7 +178,7 @@ def fetch_material_soa(
         flags0 = jnp.round(row0[15]).astype(jnp.int32)
         is_mix = (flags0 & MIX_FLAG) != 0
         r = tbrng.uniform(lane_id, sample_index, bounce,
-                          tbrng.STREAM_SPECULAR_SELECT + 32, seed)
+                          tbrng.STREAM_MIX, seed)
         mix_id = jnp.where(r < row0[2], row0[0], row0[1]).astype(jnp.int32)
         mid = jnp.where(is_mix, jnp.clip(mix_id, 0, M - 1), mid)
 
@@ -303,7 +303,7 @@ def fetch_material(
         is_mix = (flags0 & MIX_FLAG) != 0
         amount = row0[..., 2]
         r = tbrng.uniform(lane_id, sample_index, bounce,
-                          tbrng.STREAM_SPECULAR_SELECT + 32, seed)
+                          tbrng.STREAM_MIX, seed)
         mix_id = jnp.where(r < amount, row0[..., 0], row0[..., 1]).astype(
             jnp.int32
         )
