@@ -73,21 +73,32 @@ def test_packet_respects_tmax(rng):
     np.testing.assert_allclose(t_cap[hit_cap], t_full[hit_cap], rtol=1e-5)
 
 
+def _patch_interpret(pt2):
+    """Force interpret mode on the v2 kernels (CPU test environment)."""
+    orig_c = pt2.traverse_packets2
+    orig_a = pt2.anyhit_packets2
+
+    def patched_c(o, d, tm, packed, interpret=False, **kw):
+        return orig_c(o, d, tm, packed, interpret=True, **kw)
+
+    def patched_a(o, d, tm, packed, interpret=False, **kw):
+        return orig_a(o, d, tm, packed, interpret=True, **kw)
+
+    pt2.traverse_packets2 = patched_c
+    pt2.anyhit_packets2 = patched_a
+    return orig_c, orig_a
+
+
 def test_end_to_end_render_parity(tmp_path):
     """Full render with the pallas backend (interpret) matches jnp."""
     import os
-    import tracerboy_tpu.trace.pallas_traverse as pt
+    import tracerboy_tpu.trace.pallas_traverse2 as pt2
     from tracerboy_tpu import Renderer
     import tests.conftest as c
 
     path = c.require_scene("cornell-box/scene.pbrt")
 
-    orig = pt.traverse_packets
-
-    def patched(o, d, tm, packed, interpret=False, **kw):
-        return orig(o, d, tm, packed, interpret=True, **kw)
-
-    pt.traverse_packets = patched
+    orig_c, orig_a = _patch_interpret(pt2)
     try:
         os.environ["TB_TRAVERSAL"] = "pallas"
         r1 = Renderer(path, film_size=(32, 24))
@@ -99,7 +110,8 @@ def test_end_to_end_render_parity(tmp_path):
         r2.render_sample(2)
         img2 = np.asarray(r2.resolve_radiance())
     finally:
-        pt.traverse_packets = orig
+        pt2.traverse_packets2 = orig_c
+        pt2.anyhit_packets2 = orig_a
         os.environ.pop("TB_TRAVERSAL", None)
     np.testing.assert_allclose(img1, img2, atol=1e-4)
 
@@ -110,17 +122,12 @@ def test_set_material_rebuilds_backend_pytree(backend):
     backend packing (regression: the pallas path lost pk_* arrays after
     set_material and the next render_wave KeyError'd)."""
     import os
-    import tracerboy_tpu.trace.pallas_traverse as pt
+    import tracerboy_tpu.trace.pallas_traverse2 as pt2
     from tracerboy_tpu import Renderer
     import tests.conftest as c
 
     path = c.require_scene("cornell-box/scene.pbrt")
-    orig = pt.traverse_packets
-
-    def patched(o, d, tm, packed, interpret=False, **kw):
-        return orig(o, d, tm, packed, interpret=True, **kw)
-
-    pt.traverse_packets = patched
+    orig_c, orig_a = _patch_interpret(pt2)
     try:
         os.environ["TB_TRAVERSAL"] = backend
         r = Renderer(path, film_size=(16, 16))
@@ -133,5 +140,6 @@ def test_set_material_rebuilds_backend_pytree(backend):
         img = np.asarray(r.resolve_radiance())
         assert np.isfinite(img).all()
     finally:
-        pt.traverse_packets = orig
+        pt2.traverse_packets2 = orig_c
+        pt2.anyhit_packets2 = orig_a
         os.environ.pop("TB_TRAVERSAL", None)

@@ -29,6 +29,7 @@ STREAM_LIGHT_SELECT = 10
 STREAM_RIS = 11                # 2*16 dims reserved for reservoir sampling
 STREAM_SSS = 48                # scattering walk (uses 48-49)
 STREAM_MIX = 50                # mix-material resolution coin
+STREAM_ROUGH_REFRACT = 51      # pow-lobe rough refraction sample
 STREAM_ACCUM_JITTER = 64       # jittered-accumulator coin flip
 NUM_STREAMS = 80
 

@@ -203,6 +203,14 @@ class Renderer:
                 | (np.asarray(self.compiled.materials["emissive_tex"]) >= 0).any()
                 | (np.asarray(self.compiled.materials["specular_tex"]) >= 0).any()
             ),
+            has_alpha=bool(
+                (np.asarray(self.compiled.materials["alpha_tex"]) >= 0).any()
+            ),
+            has_normal_maps=bool(
+                perf.enable_normal_maps
+                and (np.asarray(
+                    self.compiled.materials["normal_tex"]) >= 0).any()
+            ),
             traversal=self.traversal,
         )
 

@@ -108,11 +108,30 @@ class CompiledScene:
         tri9 = np.concatenate(
             [self.tri_v0, self.tri_v1, self.tri_v2], axis=1
         ).astype(np.float32)
+        # Per-triangle tangent from the UV parameterization (flat frame;
+        # the reference interpolates per-vertex tangents computed at load,
+        # TracerBoy.cpp:1603-1684) — consumed by GetDetailNormal-style
+        # normal mapping (RayGenCommon.h:273-295).
+        e1 = self.tri_v1 - self.tri_v0
+        e2 = self.tri_v2 - self.tri_v0
+        d1 = self.tri_uv1 - self.tri_uv0
+        d2 = self.tri_uv2 - self.tri_uv0
+        det = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+        bad = np.abs(det) < 1e-12
+        tan = e1 * d2[:, 1:2] - e2 * d1[:, 1:2]
+        tan = np.where(
+            bad[:, None], e1, tan / np.where(bad, 1.0, det)[:, None]
+        )
+        tan = tan / np.maximum(
+            np.linalg.norm(tan, axis=1, keepdims=True), 1e-12
+        )
+
         tri_attr_t = np.concatenate(
             [
                 self.tri_n0.T, self.tri_n1.T, self.tri_n2.T,   # 0:9
                 self.tri_uv0.T, self.tri_uv1.T, self.tri_uv2.T,  # 9:15
                 self.tri_material[None, :].astype(np.float32),   # 15
+                tan.T,                                           # 16:19
             ],
             axis=0,
         ).astype(np.float32)

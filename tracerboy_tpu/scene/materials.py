@@ -189,6 +189,9 @@ def convert_material(
         m.albedo = np.zeros(3, np.float32)
         m.absorption = np.zeros(3, np.float32)
         m.ior = mat_ir.index
+        # Rough glass: pow-lobe refraction kicks in above the
+        # perfect-specular threshold (kernel.glsl:196-199).
+        m.roughness = max(mat_ir.uroughness, mat_ir.roughness)
         m.flags |= SUBSURFACE_SCATTER_FLAG
     elif t == "fourier":
         m.albedo = np.full(3, 0.6, np.float32)
@@ -219,6 +222,15 @@ def convert_material(
         # Unknown class: neutral brown fallback, as the reference does.
         m.albedo = np.array([153 / 255.0, 102 / 255.0, 58 / 255.0], np.float32)
         m.roughness = 0.2
+
+    # Albedo-alpha fallback: an albedo image with a real alpha channel
+    # doubles as the cutout mask (SharedHitGroup.h:171-178).
+    if not has_alpha and m.albedo_tex >= 0:
+        companion = getattr(texture_allocator, "alpha_companion", {})
+        alpha_rec = companion.get(m.albedo_tex, -1)
+        if alpha_rec >= 0:
+            m.alpha_tex = alpha_rec
+            has_alpha = True
 
     if not has_alpha:
         m.flags |= NO_ALPHA_FLAG

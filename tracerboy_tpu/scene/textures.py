@@ -37,6 +37,10 @@ class TextureAllocator:
         self.images: list[np.ndarray] = []
         self.records: list[dict] = []
         self._cache: dict = {}
+        # record idx -> companion alpha-texture record idx, for image
+        # textures whose file carries a meaningful alpha channel (the
+        # reference's albedo-alpha cutout fallback, SharedHitGroup.h:171).
+        self.alpha_companion: dict[int, int] = {}
 
     def __call__(self, name_or_path, gamma: bool = False) -> int:
         key = (name_or_path, gamma)
@@ -111,7 +115,7 @@ class TextureAllocator:
             img = image_io.read_texture(path, gamma_to_linear_ldr=False)
         is_hdr = os.path.splitext(path)[1].lower() in (".hdr", ".exr", ".pfm")
         self.images.append(np.asarray(img[..., :3], np.float32))
-        return self._add_record(
+        rec = self._add_record(
             dict(
                 ttype=TEX_IMAGE,
                 flags=(GAMMA_FLAG if (gamma and not is_hdr) else 0),
@@ -121,6 +125,22 @@ class TextureAllocator:
                 color2=np.zeros(3, np.float32), sub1=-1, sub2=-1,
             )
         )
+        # Alpha-channel detection (reference: TracerBoy.cpp texture alpha
+        # detection + IsValidHit albedo-alpha fallback).
+        if img.ndim == 3 and img.shape[2] >= 4 and float(img[..., 3].min()) < 0.999:
+            self.images.append(
+                np.repeat(img[..., 3:4], 3, axis=2).astype(np.float32)
+            )
+            self.alpha_companion[rec] = self._add_record(
+                dict(
+                    ttype=TEX_IMAGE, flags=0,
+                    image_idx=len(self.images) - 1,
+                    uscale=uscale, vscale=vscale,
+                    color1=np.zeros(3, np.float32),
+                    color2=np.zeros(3, np.float32), sub1=-1, sub2=-1,
+                )
+            )
+        return rec
 
     def _add_record(self, rec) -> int:
         self.records.append(rec)

@@ -154,6 +154,25 @@ def sample_cosine_hemisphere_soa(normal, r0, r1):
     return v3.reorient(v3.V3(lx, ly, lz), normal), pdf
 
 
+def sample_pow_lobe_soa(axis, roughness, r0, r1):
+    """Phong-style pow-lobe about V3 `axis` for rough refraction
+    (kernel.glsl:1048-1064 GenerateImportanceSampledDirection, applied to
+    the refraction direction at kernel.glsl:1535-1556 / 1649-1664).
+    Returns (V3, pdf); the matched-lobe weight is 1, so callers only kill
+    pdf < EPSILON samples like the reference."""
+    from tracerboy_tpu.core import vec3 as v3
+
+    lobe = jnp.power(1.0 - roughness, 5.0) * 1000.0
+    theta = 2.0 * PI * r1
+    cos_phi = jnp.power(jnp.maximum(r0, 1e-12), 1.0 / (lobe + 1.0))
+    sin_phi = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_phi * cos_phi))
+    local = v3.V3(
+        sin_phi * jnp.cos(theta), cos_phi, sin_phi * jnp.sin(theta)
+    )
+    pdf = (lobe + 1.0) * jnp.power(cos_phi, lobe) / (2.0 * PI)
+    return v3.reorient(local, axis), pdf
+
+
 def sample_ggx_reflection_soa(incoming, normal, roughness, r0, r1):
     """GGX microfacet sample + reflect, SoA (kernel.glsl:1066-1083)."""
     from tracerboy_tpu.core import vec3 as v3

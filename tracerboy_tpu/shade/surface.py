@@ -194,6 +194,7 @@ def fetch_material_soa(
     albedo_tex = jnp.round(row[16]).astype(jnp.int32)
     emissive_tex = jnp.round(row[17]).astype(jnp.int32)
     spec_tex = jnp.round(row[18]).astype(jnp.int32)
+    normal_tex = jnp.round(row[19]).astype(jnp.int32)
 
     zero = jnp.zeros_like(ior)
     emissive = v3.where(backside, v3.V3(zero, zero, zero), emissive)
@@ -237,8 +238,34 @@ def fetch_material_soa(
     return dict(
         albedo=albedo, emissive=emissive, ior=ior, roughness=roughness,
         absorption=absorption, scattering=scattering,
-        specular_coef=specular_coef, flags=flags,
+        specular_coef=specular_coef, flags=flags, normal_tex=normal_tex,
     )
+
+
+def apply_normal_map(scene, normal_tex, normal, tangent, uv_u, uv_v):
+    """Tangent-space normal-map perturbation (GetDetailNormal,
+    RayGenCommon.h:273-295): tbn = ((0.5-x)*2, (0.5-y)*2, sqrt(1-x2-y2)),
+    z clamped to 0.02 so reflections never go parallel to the surface.
+
+    normal/tangent: V3 SoA. Returns the detail normal (V3)."""
+    from tracerboy_tpu.core import vec3 as v3
+
+    # Gram-Schmidt: flat per-triangle tangents aren't exactly
+    # perpendicular to the interpolated shading normal.
+    t = v3.normalize(tangent - normal * v3.dot(tangent, normal))
+    b = v3.cross(t, normal)
+    uv = jnp.stack([uv_u, uv_v], axis=-1)
+    data = eval_texture(
+        scene["tex_records"], scene["tex_images"], scene["tex_sizes"],
+        jnp.maximum(normal_tex, 0), uv,
+    )
+    tx = (0.5 - data[..., 0]) * 2.0
+    ty = (0.5 - data[..., 1]) * 2.0
+    tz = jnp.sqrt(jnp.maximum(1.0 - tx * tx - ty * ty, 0.0))
+    detail = v3.normalize(
+        t * tx + b * ty + normal * jnp.maximum(tz, 0.02)
+    )
+    return v3.where(normal_tex >= 0, detail, normal)
 
 
 def fetch_material(

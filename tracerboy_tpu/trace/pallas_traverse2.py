@@ -1,0 +1,557 @@
+"""Pallas packet traversal v2: straight-line stack machine, ordered pushes.
+
+Second-generation replacement for the reference's software traversal
+(D3D12RaytracingFallback/src/TraverseFunction.hlsli:537-784). Same packed
+scene format as pallas_traverse.py (one 128-lane row per wide node /
+8-triangle cluster), rebuilt around what round-1 hardware profiling showed
+actually costs time on TPU:
+
+- **No vector state in loop carries.** v1 threaded (t_best, tri, u, v)
+  through `lax.cond` branches per child — 8 conditional vector-state
+  copies per node. v2 keeps all per-ray state in VMEM scratch refs and
+  carries only three scalars (stack ptr, queue head/tail) through the
+  while loop; conditionals mutate refs in place.
+- **Explicit (8, 128) ray registers.** Every per-ray array is shaped to
+  the native VPU tile instead of a flat (1024,) vector, so each op is one
+  full-width vector instruction.
+- **Branch-free pushes.** `stack[sp] = cid; sp += wanted` — unconditional
+  store + conditional increment replaces per-child `lax.cond`s.
+- **Leaf cluster queue.** Internal-node math never mixes with triangle
+  math: leaf hits enqueue cluster ids into a 16-slot ring; the queue
+  drains in straight-line batches of Q=8 clusters (64 triangle tests,
+  fully unrolled). In the HBM-streaming variant the cluster row DMA
+  *starts at enqueue time* — by drain time the row has usually landed,
+  which is the double-buffering the round-1 streaming attempt lacked.
+- **Ordered traversal.** Children are pushed far-to-near (scalar sorting
+  network on per-child min-t), so near subtrees pop first and t_best
+  culling prunes the far ones — the near-child-first ordering of the
+  reference's stack machine (TraverseFunction.hlsli:537-660).
+- **Dedicated any-hit kernel** for shadow waves: no best-hit bookkeeping,
+  occlusion mask only, whole-packet early exit once every lane is
+  occluded (the reference's ACCEPT_AND_END_SEARCH path, AnyHit.hlsl).
+
+Correctness oracle: brute_force_closest / v1 kernel in interpret mode
+(tests/test_pallas2.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tracerboy_tpu.accel.bvh import INVALID
+
+PACKET = 1024           # rays per packet: one (8, 128) VPU tile
+SUB, LANES = 8, 128
+PACKETS_PER_BLOCK = 16  # packets per kernel program (launch amortization)
+STACK_DEPTH = 96
+LEAF = 8                # triangles per cluster row
+QUEUE_RING = 16         # leaf queue slots (power of two)
+DRAIN_BATCH = 8         # clusters intersected per drain
+BIG = 1e30
+
+# 8-element sorting network (Batcher), 19 comparators.
+_SORT_NET = [
+    (0, 1), (2, 3), (4, 5), (6, 7),
+    (0, 2), (1, 3), (4, 6), (5, 7),
+    (1, 2), (5, 6), (0, 4), (3, 7),
+    (1, 5), (2, 6), (1, 4), (3, 6),
+    (2, 4), (3, 5), (3, 4),
+]
+
+
+def _sort_children_far_first(tmins, cids, wants):
+    """Scalar sorting network: order 8 (tmin, cid, want) triples by
+    descending tmin so the stack (LIFO) pops near children first."""
+    t = list(tmins)
+    c = list(cids)
+    w = list(wants)
+    for i, j in _SORT_NET:
+        swap = t[i] < t[j]  # descending
+        ti, tj = t[i], t[j]
+        t[i] = jnp.where(swap, tj, ti)
+        t[j] = jnp.where(swap, ti, tj)
+        ci, cj = c[i], c[j]
+        c[i] = jnp.where(swap, cj, ci)
+        c[j] = jnp.where(swap, ci, cj)
+        wi, wj = w[i], w[j]
+        w[i] = jnp.where(swap, wj, wi)
+        w[j] = jnp.where(swap, wi, wj)
+    return t, c, w
+
+
+def _node_children(rowf, row, ox, oy, oz, inv_x, inv_y, inv_z, t_cap):
+    """Slab-test the 8 children of one wide node against the packet.
+
+    rowf/row: (1, 128) f32/i32 views of the node row. t_cap: (8, 128)
+    per-ray upper bound. Returns ([tmin]*8 scalars, [cid]*8 scalars,
+    [want]*8 scalar bools).
+    """
+    tmins, cids, wants = [], [], []
+    for c in range(8):
+        lo_x = rowf[0, c]
+        lo_y = rowf[0, 8 + c]
+        lo_z = rowf[0, 16 + c]
+        hi_x = rowf[0, 24 + c]
+        hi_y = rowf[0, 32 + c]
+        hi_z = rowf[0, 40 + c]
+        t0x = (lo_x - ox) * inv_x
+        t1x = (hi_x - ox) * inv_x
+        t0y = (lo_y - oy) * inv_y
+        t1y = (hi_y - oy) * inv_y
+        t0z = (lo_z - oz) * inv_z
+        t1z = (hi_z - oz) * inv_z
+        t_near = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        t_far = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        hit = (t_far >= jnp.maximum(t_near, 0.0)) & (t_near < t_cap)
+        tmin = jnp.min(jnp.where(hit, t_near, jnp.float32(BIG)))
+        cid = row[0, 48 + c]
+        tmins.append(tmin)
+        cids.append(cid)
+        wants.append((cid != INVALID) & (tmin < jnp.float32(BIG)))
+    return tmins, cids, wants
+
+
+def _tri_tests(trow, ox, oy, oz, dx, dy, dz):
+    """Moller-Trumbore for the 8 triangles of one cluster row against the
+    packet. Returns lists of (tt, uu, vv, ok_geom) per triangle; caller
+    applies t-window and bookkeeping."""
+    out = []
+    for k in range(LEAF):
+        b = k * 9
+        v0x, v0y, v0z = trow[0, b], trow[0, b + 1], trow[0, b + 2]
+        v1x, v1y, v1z = trow[0, b + 3], trow[0, b + 4], trow[0, b + 5]
+        v2x, v2y, v2z = trow[0, b + 6], trow[0, b + 7], trow[0, b + 8]
+        e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+        e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+        uu = (tvx * px + tvy * py + tvz * pz) * inv_det
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        vv = (dx * qx + dy * qy + dz * qz) * inv_det
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok = (
+            (jnp.abs(det) > 1e-9)
+            & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+            & (tt > 1e-5)
+        )
+        out.append((tt, uu, vv, ok))
+    return out
+
+
+def _make_kernel(any_hit: bool, tris_in_hbm: bool, stats: bool = False,
+                 order: bool = True, pops_per_iter: int = 1):
+    """Build the packet-traversal kernel body.
+
+    order: push children far-to-near (t-ordered stack).
+    pops_per_iter: nodes popped per while iteration, branch-free — when
+    the stack underflows, the synthesized dummy node (index = real node
+    count, appended by the wrapper: inverted bounds, INVALID children)
+    flows through the same straight-line math and produces nothing.
+    """
+    import jax.lax as lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    RINGM = QUEUE_RING - 1
+
+    def kernel(o_ref, d_ref, tmax_ref, nodes_ref, tris_ref,
+               *rest):
+        stats_out = None
+        if stats:
+            stats_out = rest[0]
+            rest = rest[1:]
+        if any_hit:
+            (occ_out,) = rest[:1]
+            scratch = rest[1:]
+        else:
+            t_out, tri_out, u_out, v_out = rest[:4]
+            scratch = rest[4:]
+        if tris_in_hbm:
+            if any_hit:
+                stack_ref, queue_ref, occ_ref, ring_ref, sems = scratch
+            else:
+                (stack_ref, queue_ref, tb_ref, tri_ref, uu_ref, vv_ref,
+                 ring_ref, sems) = scratch
+        else:
+            ring_ref = sems = None
+            if any_hit:
+                stack_ref, queue_ref, occ_ref = scratch
+            else:
+                (stack_ref, queue_ref, tb_ref, tri_ref, uu_ref,
+                 vv_ref) = scratch
+
+        n_clusters = tris_ref.shape[0]
+
+        def one_packet(pp, _):
+            ox = o_ref[pp, 0]
+            oy = o_ref[pp, 1]
+            oz = o_ref[pp, 2]
+            dx = d_ref[pp, 0]
+            dy = d_ref[pp, 1]
+            dz = d_ref[pp, 2]
+            eps = jnp.float32(1e-12)
+            fix = lambda v: jnp.where(jnp.abs(v) < eps,
+                                      jnp.where(v < 0, -eps, eps), v)
+            inv_x = 1.0 / fix(dx)
+            inv_y = 1.0 / fix(dy)
+            inv_z = 1.0 / fix(dz)
+            tmax = tmax_ref[pp]
+
+            # Per-packet state init.
+            stack_ref[0] = 0
+            if any_hit:
+                occ_ref[...] = jnp.zeros((SUB, LANES), jnp.float32)
+            else:
+                tb_ref[...] = tmax
+                tri_ref[...] = jnp.full((SUB, LANES), -1, jnp.int32)
+                uu_ref[...] = jnp.zeros((SUB, LANES), jnp.float32)
+                vv_ref[...] = jnp.zeros((SUB, LANES), jnp.float32)
+
+            def start_cluster_dma(cluster, slot):
+                return pltpu.make_async_copy(
+                    tris_ref.at[pl.ds(cluster, 1), :],
+                    ring_ref.at[pl.ds(slot, 1), :],
+                    sems.at[slot],
+                )
+
+            fbits = lambda w: lax.bitcast_convert_type(w, jnp.float32)
+
+            dummy_idx = nodes_ref.shape[0] - 1
+
+            def node_phase(sp, head, tail):
+                # Branch-free pop: stack underflow reads the dummy node,
+                # whose inverted bounds and INVALID children are inert.
+                have = sp > 0
+                node = jnp.where(
+                    have, stack_ref[jnp.maximum(sp - 1, 0)], dummy_idx
+                )
+                sp = sp - jnp.where(have, 1, 0)
+                row = nodes_ref[pl.ds(node, 1), :]
+                rowf = fbits(row)
+                if any_hit:
+                    # Occluded lanes stop driving traversal.
+                    t_cap = jnp.where(occ_ref[...] > 0.0,
+                                      jnp.float32(-BIG), tmax)
+                else:
+                    t_cap = tb_ref[...]
+                tmins, cids, wants = _node_children(
+                    rowf, row, ox, oy, oz, inv_x, inv_y, inv_z, t_cap
+                )
+                if order and not any_hit:
+                    tmins, cids, wants = _sort_children_far_first(
+                        tmins, cids, wants
+                    )
+                for c in range(8):
+                    cid = cids[c]
+                    want = wants[c]
+                    is_leaf = cid < 0
+                    # Branch-free push: unconditional store, conditional
+                    # bump. Unbumped slots are overwritten or dead.
+                    w_int = jnp.where(want & ~is_leaf, 1, 0)
+                    stack_ref[jnp.minimum(sp, STACK_DEPTH - 1)] = cid
+                    sp = sp + w_int
+                    cluster = -cid - 1
+                    slot = tail & RINGM
+                    queue_ref[slot] = cluster
+                    q_int = jnp.where(want & is_leaf, 1, 0)
+                    if tris_in_hbm:
+                        @pl.when((want & is_leaf))
+                        def _():
+                            start_cluster_dma(cluster, slot).start()
+                    tail = tail + q_int
+                return sp, head, tail
+
+            def drain_phase(sp, head, tail):
+                count = jnp.minimum(tail - head, DRAIN_BATCH)
+                if any_hit:
+                    occ = occ_ref[...]
+                else:
+                    tb = tb_ref[...]
+                    tribest = tri_ref[...]
+                    ub = uu_ref[...]
+                    vb = vv_ref[...]
+                for k in range(DRAIN_BATCH):
+                    valid = k < count
+                    slot = (head + k) & RINGM
+                    cluster = queue_ref[slot]
+                    if tris_in_hbm:
+                        @pl.when(valid)
+                        def _():
+                            start_cluster_dma(cluster, slot).wait()
+                        trow = ring_ref[pl.ds(slot, 1), :]
+                    else:
+                        safe = jnp.clip(cluster, 0, n_clusters - 1)
+                        trow = tris_ref[pl.ds(safe, 1), :]
+                    tests = _tri_tests(trow, ox, oy, oz, dx, dy, dz)
+                    if any_hit:
+                        for k2 in range(LEAF):
+                            tt, _, _, okg = tests[k2]
+                            ok = okg & (tt < tmax) & valid
+                            occ = jnp.where(ok, jnp.float32(1.0), occ)
+                    else:
+                        for k2 in range(LEAF):
+                            tt, uu, vv, okg = tests[k2]
+                            ok = okg & (tt < tb) & valid
+                            tri_id = cluster * LEAF + k2
+                            tb = jnp.where(ok, tt, tb)
+                            tribest = jnp.where(ok, tri_id, tribest)
+                            ub = jnp.where(ok, uu, ub)
+                            vb = jnp.where(ok, vv, vb)
+                if any_hit:
+                    occ_ref[...] = occ
+                else:
+                    tb_ref[...] = tb
+                    tri_ref[...] = tribest
+                    uu_ref[...] = ub
+                    vv_ref[...] = vb
+                return sp, head + count, tail
+
+            def cond(state):
+                sp, head, tail, pops = state
+                return (sp > 0) | (tail > head)
+
+            def body(state):
+                sp, head, tail, pops = state
+                for _ in range(pops_per_iter):
+                    pops = pops + jnp.where(sp > 0, 1, 0)
+                    sp, head, tail = node_phase(sp, head, tail)
+                    do_drain = (tail - head >= DRAIN_BATCH) | (
+                        (sp == 0) & (tail > head)
+                    )
+                    sp, head, tail = lax.cond(
+                        do_drain, drain_phase,
+                        lambda s, h, t: (s, h, t), sp, head, tail,
+                    )
+                return sp, head, tail, pops
+
+            _, clusters_done, _, pops = lax.while_loop(
+                cond, body,
+                (jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+            )
+            if stats:
+                stats_out[pp, 0:1, :] = jnp.full(
+                    (1, LANES), pops.astype(jnp.float32)
+                )
+                stats_out[pp, 1:2, :] = jnp.full(
+                    (1, LANES), clusters_done.astype(jnp.float32)
+                )
+
+            if any_hit:
+                occ_out[pp] = occ_ref[...]
+            else:
+                tb = tb_ref[...]
+                tri = tri_ref[...]
+                t_out[pp] = jnp.where(tri < 0, jnp.float32(BIG), tb)
+                tri_out[pp] = tri
+                u_out[pp] = uu_ref[...]
+                v_out[pp] = vv_ref[...]
+            return 0
+
+        jax.lax.fori_loop(0, o_ref.shape[0], one_packet, 0)
+
+    return kernel
+
+
+def _dummy_node_row():
+    """Inert wide-node row: inverted bounds, INVALID children (the
+    branch-free stack-underflow target)."""
+    row = np.zeros((1, 128), np.int32)
+    bounds = np.concatenate(
+        [np.full((8, 3), BIG, np.float32),
+         np.full((8, 3), -BIG, np.float32)], axis=1,
+    )  # (8, 6)
+    row[0, :48] = bounds.T.reshape(48).view(np.int32)
+    row[0, 48:56] = INVALID
+    return row
+
+
+def _with_dummy(nodes):
+    return jnp.concatenate([nodes, jnp.asarray(_dummy_node_row())], axis=0)
+
+
+def _reshape_in(orig, direc, t_max, n_packets):
+    o_t = orig.T.reshape(3, n_packets, SUB, LANES).swapaxes(0, 1)
+    d_t = direc.T.reshape(3, n_packets, SUB, LANES).swapaxes(0, 1)
+    tm = t_max.reshape(n_packets, SUB, LANES)
+    return o_t, d_t, tm
+
+
+def _pad_rays(orig, direc, t_max, block_rays):
+    N = orig.shape[0]
+    pad = (-N) % block_rays
+    if pad:
+        orig = jnp.concatenate([orig, jnp.zeros((pad, 3), orig.dtype)])
+        direc = jnp.concatenate([direc, jnp.ones((pad, 3), direc.dtype)])
+        t_max = jnp.concatenate(
+            [t_max, jnp.zeros((pad,), t_max.dtype)]  # dead rays
+        )
+    return orig, direc, t_max, N, N + pad
+
+
+@partial(jax.jit, static_argnames=("interpret", "tris_in_hbm", "stats",
+                                   "order", "pops_per_iter"))
+def traverse_packets2(orig, direc, t_max, packed, interpret: bool = False,
+                      tris_in_hbm: bool = False, stats: bool = False,
+                      order: bool = True, pops_per_iter: int = 1):
+    """Closest-hit packet traversal (v2 kernel).
+
+    Same contract as pallas_traverse.traverse_packets: returns
+    (t, tri_packed, u, v); remap tri ids through packed["tri_map"].
+    stats=True appends a per-packet counter image: lane [p,0,:] = while
+    iterations with a node pop, [p,1,:] = leaf clusters intersected.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    orig, direc, t_max, N, Np = _pad_rays(
+        orig, direc, t_max, PACKET * PACKETS_PER_BLOCK
+    )
+    n_packets = Np // PACKET
+    n_blocks = n_packets // PACKETS_PER_BLOCK
+    PPB = PACKETS_PER_BLOCK
+    o_t, d_t, tm = _reshape_in(orig, direc, t_max, n_packets)
+
+    scratch = [
+        pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+        pltpu.SMEM((QUEUE_RING,), jnp.int32),
+        pltpu.VMEM((SUB, LANES), jnp.float32),   # t_best
+        pltpu.VMEM((SUB, LANES), jnp.int32),     # tri_best
+        pltpu.VMEM((SUB, LANES), jnp.float32),   # u
+        pltpu.VMEM((SUB, LANES), jnp.float32),   # v
+    ]
+    if tris_in_hbm:
+        scratch += [
+            pltpu.VMEM((QUEUE_RING, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((QUEUE_RING,)),
+        ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((PPB, 3, SUB, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PPB, 3, SUB, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PPB, SUB, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes
+            pl.BlockSpec(
+                memory_space=pl.ANY if tris_in_hbm else pltpu.VMEM
+            ),                                       # tris
+        ],
+        out_specs=[
+            pl.BlockSpec((PPB, SUB, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4 + int(stats))
+        ],
+        scratch_shapes=scratch,
+    )
+
+    out = pl.pallas_call(
+        _make_kernel(any_hit=False, tris_in_hbm=tris_in_hbm, stats=stats,
+                     order=order, pops_per_iter=pops_per_iter),
+        grid_spec=grid_spec,
+        out_shape=(
+            [jax.ShapeDtypeStruct((n_packets, SUB, LANES), jnp.float32)]
+            * int(stats)
+        ) + [
+            jax.ShapeDtypeStruct((n_packets, SUB, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_packets, SUB, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_packets, SUB, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_packets, SUB, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(o_t, d_t, tm, _with_dummy(packed["nodes"]), packed["tris"])
+    if stats:
+        st, t, tri, u, v = out
+    else:
+        t, tri, u, v = out
+
+    res = (
+        t.reshape(Np)[:N], tri.reshape(Np)[:N],
+        u.reshape(Np)[:N], v.reshape(Np)[:N],
+    )
+    if stats:
+        return res + (st[:, :2, 0],)  # (n_packets, 2): pops, clusters
+    return res
+
+
+@partial(jax.jit, static_argnames=("interpret", "tris_in_hbm",
+                                   "pops_per_iter"))
+def anyhit_packets2(orig, direc, t_max, packed, interpret: bool = False,
+                    tris_in_hbm: bool = False, pops_per_iter: int = 1):
+    """Occlusion-only packet traversal: True where any triangle lies in
+    (0, t_max). Early-exits bookkeeping the closest-hit kernel pays for;
+    shadow waves are ~half of all traced rays."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    orig, direc, t_max, N, Np = _pad_rays(
+        orig, direc, t_max, PACKET * PACKETS_PER_BLOCK
+    )
+    n_packets = Np // PACKET
+    n_blocks = n_packets // PACKETS_PER_BLOCK
+    PPB = PACKETS_PER_BLOCK
+    o_t, d_t, tm = _reshape_in(orig, direc, t_max, n_packets)
+
+    scratch = [
+        pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+        pltpu.SMEM((QUEUE_RING,), jnp.int32),
+        pltpu.VMEM((SUB, LANES), jnp.float32),   # occluded mask
+    ]
+    if tris_in_hbm:
+        scratch += [
+            pltpu.VMEM((QUEUE_RING, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((QUEUE_RING,)),
+        ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((PPB, 3, SUB, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PPB, 3, SUB, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PPB, SUB, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                memory_space=pl.ANY if tris_in_hbm else pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((PPB, SUB, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=scratch,
+    )
+
+    (occ,) = pl.pallas_call(
+        _make_kernel(any_hit=True, tris_in_hbm=tris_in_hbm,
+                     pops_per_iter=pops_per_iter),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_packets, SUB, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(o_t, d_t, tm, _with_dummy(packed["nodes"]), packed["tris"])
+
+    return occ.reshape(Np)[:N] > 0.0

@@ -74,12 +74,11 @@ def _coherence_sort(origin, direction, world_lo, world_hi):
     return (oct_bits << 24) | (morton >> 3)
 
 
-def _pallas_closest(scene, origin, direction, t_max, shadow: bool):
-    """Packet traversal with coherence sorting + padding."""
-    from tracerboy_tpu.trace.pallas_traverse import (
+def _pallas_sorted(scene, origin, direction, t_max, shadow: bool):
+    """Common packet prep: coherence sort, pad, pick the packed BVH."""
+    from tracerboy_tpu.trace.pallas_traverse2 import (
         PACKET,
         PACKETS_PER_BLOCK,
-        traverse_packets,
     )
 
     N = origin.shape[0]
@@ -101,22 +100,188 @@ def _pallas_closest(scene, origin, direction, t_max, shadow: bool):
 
     prefix = "pk_sh_" if shadow else "pk_"
     packed = dict(nodes=scene[prefix + "nodes"], tris=scene[prefix + "tris"])
-    # Static scene fact: stream leaf clusters from HBM when the table
-    # exceeds the VMEM budget. NOTE: experimental — the renderer backend
-    # policy avoids this path until the DMA variant is hardened on
-    # hardware (worker fault observed on vw-van).
-    tris_in_hbm = packed["tris"].shape[0] * 512 > 10 * 2**20
-    t, tri, u, v = traverse_packets(
+    # Static scene fact: stream leaf clusters from HBM (DMA started at
+    # enqueue time, waited at drain) when the cluster table would not
+    # leave VMEM room for the rays + node table.
+    tris_in_hbm = packed["tris"].shape[0] * 512 > 8 * 2**20
+    inv = jnp.zeros((N,), jnp.int32).at[perm].set(
+        jnp.arange(N, dtype=jnp.int32)
+    )
+    return o_s, d_s, tmax_p, packed, tris_in_hbm, inv, prefix
+
+
+def _pallas_closest(scene, origin, direction, t_max, shadow: bool):
+    """Packet traversal (v2 kernel) with coherence sorting + padding."""
+    from tracerboy_tpu.trace.pallas_traverse2 import traverse_packets2
+
+    o_s, d_s, tmax_p, packed, tris_in_hbm, inv, prefix = _pallas_sorted(
+        scene, origin, direction, t_max, shadow
+    )
+    t, tri, u, v = traverse_packets2(
         o_s, d_s, tmax_p, packed, tris_in_hbm=tris_in_hbm
     )
     # Packed tri ids -> scene tri order.
     tri_map = scene[prefix + "tri_map"]
     tri = jnp.where(tri >= 0, tri_map[jnp.clip(tri, 0, None)], -1)
-
-    inv = jnp.zeros((N,), jnp.int32).at[perm].set(
-        jnp.arange(N, dtype=jnp.int32)
-    )
     return t[inv], tri[inv], u[inv], v[inv]
+
+
+def _pallas_anyhit(scene, origin, direction, t_max):
+    """Occlusion-only packet traversal over the shadow BVH (v2 kernel)."""
+    from tracerboy_tpu.trace.pallas_traverse2 import anyhit_packets2
+
+    o_s, d_s, tmax_p, packed, tris_in_hbm, inv, _ = _pallas_sorted(
+        scene, origin, direction, t_max, shadow=True
+    )
+    occ = anyhit_packets2(
+        o_s, d_s, tmax_p, packed, tris_in_hbm=tris_in_hbm
+    )
+    return occ[inv]
+
+
+ALPHA_CUTOFF = 0.9  # SharedHitGroup.h:163
+
+
+def _alpha_at_hit(scene, tri, u, v):
+    """Cutout alpha at a hit; 1.0 where opaque / no alpha texture / miss.
+
+    The reference's IsValidHit (SharedHitGroup.h:157-179): sample the
+    material's alpha texture (or the albedo texture's alpha channel,
+    bound as a companion record at scene load) at the hit UV.
+    """
+    from tracerboy_tpu.shade.surface import eval_texture
+
+    tbl = scene["tri_attr_t"]
+    T = tbl.shape[1]
+    tric = jnp.clip(tri, 0, T - 1)
+    rows = [tbl[j][tric] for j in (9, 10, 11, 12, 13, 14, 15)]
+    w_b = 1.0 - u - v
+    uv_u = rows[0] * w_b + rows[2] * u + rows[4] * v
+    uv_v = rows[1] * w_b + rows[3] * u + rows[5] * v
+    mid = jnp.round(rows[6]).astype(jnp.int32)
+    mats = scene["materials"]
+    M = mats["alpha_tex"].shape[0]
+    atex = mats["alpha_tex"][jnp.clip(mid, 0, M - 1)]
+    uv = jnp.stack([uv_u, uv_v], axis=-1)
+    a = eval_texture(
+        scene["tex_records"], scene["tex_images"], scene["tex_sizes"],
+        jnp.maximum(atex, 0), uv,
+    )[..., 0]
+    return jnp.where((tri >= 0) & (atex >= 0), a, 1.0)
+
+
+def _closest_once(scene, o_v3, d_v3, t_max, cfg, shadow=False):
+    """One closest-hit traversal on the selected backend (flat outputs)."""
+    from tracerboy_tpu.core import vec3 as v3
+    from tracerboy_tpu.trace.intersect import brute_force_closest_soa
+
+    if cfg.use_brute_force:
+        t, tri, u, v = brute_force_closest_soa(
+            o_v3, d_v3, scene["tri9"], t_max
+        )
+        cost = jnp.full_like(t_max, float(scene["tri9"].shape[0]))
+    elif cfg.traversal == "pallas":
+        t, tri, u, v = _pallas_closest(
+            scene, v3.to_rows(o_v3), v3.to_rows(d_v3), t_max, shadow=shadow
+        )
+        cost = jnp.zeros_like(t_max)
+    else:
+        t, tri, u, v, cost = traverse_wide(
+            v3.to_rows(o_v3), v3.to_rows(d_v3), t_max,
+            scene["bvh_lo"], scene["bvh_hi"], scene["bvh_children"],
+            scene["tri_v0"], scene["tri_v1"], scene["tri_v2"],
+            leaf_size=cfg.leaf_size,
+        )
+    return t, tri, u, v, cost
+
+
+def _closest_dispatch(scene, o_v3, d_v3, t_max, cfg):
+    """Closest-hit with alpha-tested transparency.
+
+    TPU-native any-hit: instead of an in-traversal callback (the
+    reference's AnyHit.hlsl IgnoreHit), alpha-rejected hits re-fire the
+    whole wave from just past the hit — up to cfg.alpha_rounds times, a
+    static unroll. Scenes without cutout materials compile the single
+    traversal only (cfg.has_alpha gates at trace time).
+    """
+    from tracerboy_tpu.core import vec3 as v3
+
+    t, tri, u, v, cost = _closest_once(scene, o_v3, d_v3, t_max, cfg)
+    if not cfg.has_alpha:
+        return t, tri, u, v, cost
+    o_cur = o_v3
+    t_base = jnp.zeros_like(t_max)
+    for _ in range(cfg.alpha_rounds):
+        a = _alpha_at_hit(scene, tri, u, v)
+        reject = (tri >= 0) & (a < ALPHA_CUTOFF)
+        step = t + 1e-4 + 1e-4 * jnp.abs(t)
+        o_cur = v3.where(reject, o_cur + d_v3 * step, o_cur)
+        t_base = jnp.where(reject, t_base + step, t_base)
+        tm2 = jnp.where(reject, jnp.maximum(t_max - t_base, 0.0), 0.0)
+        t2, tri2, u2, v2, c2 = _closest_once(scene, o_cur, d_v3, tm2, cfg)
+        t = jnp.where(reject, t2, t)
+        tri = jnp.where(reject, tri2, tri)
+        u = jnp.where(reject, u2, u)
+        v = jnp.where(reject, v2, v)
+        cost = cost + jnp.where(reject, c2, 0.0)
+    return t + t_base, tri, u, v, cost
+
+
+def _occluded_dispatch(scene, o_v3, d_v3, t_max, cfg):
+    """Shadow-ray occlusion with alpha-tested transparency.
+
+    Without cutout materials this is a pure any-hit (early-exit packet
+    kernel / masked brute force). With them, occlusion needs hit points
+    to sample alpha, so it runs the closest-hit + re-fire loop and only
+    opaque hits occlude (reference AnyHit.hlsl semantics).
+    """
+    from tracerboy_tpu.core import vec3 as v3
+    from tracerboy_tpu.trace.intersect import brute_force_anyhit_soa
+
+    if not cfg.has_alpha:
+        if cfg.use_brute_force:
+            return brute_force_anyhit_soa(
+                o_v3, d_v3, scene["tri9"], t_max,
+                tri_opaque=scene.get("tri_shadow_opaque"),
+            )
+        if cfg.traversal == "pallas":
+            return _pallas_anyhit(
+                scene, v3.to_rows(o_v3), v3.to_rows(d_v3), t_max
+            )
+        return traverse_wide(
+            v3.to_rows(o_v3), v3.to_rows(d_v3), t_max,
+            scene["bvh_lo"], scene["bvh_hi"], scene["bvh_children"],
+            scene["tri_v0"], scene["tri_v1"], scene["tri_v2"],
+            leaf_size=cfg.leaf_size, any_hit=True,
+            tri_mask=scene.get("tri_shadow_opaque"),
+        )
+
+    # Alpha path: opaque-hit search. The pallas shadow BVH already
+    # excludes light geometry; other backends treat non-shadow-opaque
+    # triangles as pass-through (the IsLight skip).
+    shadow_opaque = scene.get("tri_shadow_opaque")
+    occluded = t_max < 0  # all-False
+    o_cur = o_v3
+    t_base = jnp.zeros_like(t_max)
+    budget = t_max
+    for _ in range(cfg.alpha_rounds + 1):
+        t, tri, u, v, _ = _closest_once(
+            scene, o_cur, d_v3, budget, cfg,
+            shadow=(cfg.traversal == "pallas"),
+        )
+        hit = tri >= 0
+        a = _alpha_at_hit(scene, tri, u, v)
+        solid = a >= ALPHA_CUTOFF
+        if shadow_opaque is not None and cfg.traversal != "pallas":
+            T = shadow_opaque.shape[0]
+            solid = solid & shadow_opaque[jnp.clip(tri, 0, T - 1)]
+        occluded = occluded | (hit & solid)
+        reject = hit & ~solid & ~occluded
+        step = t + 1e-4 + 1e-4 * jnp.abs(t)
+        o_cur = v3.where(reject, o_cur + d_v3 * step, o_cur)
+        t_base = jnp.where(reject, t_base + step, t_base)
+        budget = jnp.where(reject, jnp.maximum(t_max - t_base, 0.0), 0.0)
+    return occluded
 
 
 @dataclass(frozen=True)
@@ -140,6 +305,13 @@ class WaveConfig:
     # skip those fetch paths entirely.
     has_mix: bool = True
     has_textures: bool = True
+    # Alpha-tested transparency (cutout materials): rejected hits re-fire
+    # the wave from just past the hit, up to alpha_rounds times
+    # (SharedHitGroup.h:157-179 / AnyHit.hlsl as a wavefront re-trace).
+    has_alpha: bool = False
+    alpha_rounds: int = 3
+    # Normal mapping (GetDetailNormal, RayGenCommon.h:273-295).
+    has_normal_maps: bool = False
     # AOV production (first-hit albedo/normal/world-pos/...): required for
     # RealTime mode, denoisers and debugging; pure progressive
     # accumulation can skip the writes + padded output traffic.
@@ -202,10 +374,6 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
     from tracerboy_tpu.shade.nee import sample_one_light_soa
     from tracerboy_tpu.shade.surface import fetch_material_soa
     from tracerboy_tpu.trace.camera import generate_primary_rays_soa
-    from tracerboy_tpu.trace.intersect import (
-        brute_force_anyhit_soa,
-        brute_force_closest_soa,
-    )
 
     N = pixel_ids.shape[0]
     lane = pixel_ids
@@ -289,13 +457,15 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
     use_onehot_attrs = T_padded <= 256
 
     def tri_attrs(tric):
-        """Per-hit triangle attributes from the fused (16, Tp) table."""
+        """Per-hit triangle attributes from the fused (19, Tp) table
+        (normals, uvs, material id, tangent)."""
         tbl = scene["tri_attr_t"]
         if use_onehot_attrs:
             from tracerboy_tpu.shade.surface import _take_cols
 
             return _take_cols(tbl, tric)
-        return jnp.stack([tbl[j][tric] for j in range(16)], axis=0)
+        n_rows = 19 if cfg.has_normal_maps else 16
+        return jnp.stack([tbl[j][tric] for j in range(n_rows)], axis=0)
 
     state = dict(
         origin=origin,
@@ -347,26 +517,11 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
             alive.astype(jnp.float32)
         )
 
-        # --- traversal --------------------------------------------------
+        # --- traversal (+ alpha-tested transparency re-fire) -------------
         t_max = jnp.where(alive, BIG, 0.0)
-        if cfg.use_brute_force:
-            t, tri, u, v = brute_force_closest_soa(
-                s["origin"], s["direction"], scene["tri9"], t_max
-            )
-            trav_cost = jnp.full((N,), float(T_padded), jnp.float32)
-        elif cfg.traversal == "pallas":
-            t, tri, u, v = _pallas_closest(
-                scene, v3.to_rows(s["origin"]), v3.to_rows(s["direction"]),
-                t_max, shadow=False,
-            )
-            trav_cost = zero
-        else:
-            t, tri, u, v, trav_cost = traverse_wide(
-                v3.to_rows(s["origin"]), v3.to_rows(s["direction"]), t_max,
-                scene["bvh_lo"], scene["bvh_hi"], scene["bvh_children"],
-                scene["tri_v0"], scene["tri_v1"], scene["tri_v2"],
-                leaf_size=cfg.leaf_size,
-            )
+        t, tri, u, v, trav_cost = _closest_dispatch(
+            scene, s["origin"], s["direction"], t_max, cfg
+        )
         hit = alive & (tri >= 0)
         miss = alive & (tri < 0)
 
@@ -411,7 +566,15 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         )
         flags = mat["flags"]
         normal = v3.where(backside, -sh_normal, sh_normal)
-        detail_normal = normal  # normal-mapping hook
+        if cfg.has_normal_maps:
+            from tracerboy_tpu.shade.surface import apply_normal_map
+
+            tangent = V3(attrs[16], attrs[17], attrs[18])
+            detail_normal = apply_normal_map(
+                scene, mat["normal_tex"], normal, tangent, uv_u, uv_v
+            )
+        else:
+            detail_normal = normal
         ray_dot_n = jnp.where(backside, -ray_dot_n, ray_dot_n)
 
         cur_ior = jnp.where(backside, mat["ior"], bsdf.AIR_IOR)
@@ -442,7 +605,21 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
             s["direction"], normal,
             cur_ior / jnp.maximum(new_ior, 1e-6), ray_dot_n,
         )
+        # Rough refraction: perturb the exit/refraction direction with a
+        # pow lobe when the boundary is rough (kernel.glsl:1649-1664 via
+        # GenerateImportanceSampledDirection; matched-lobe weight = 1,
+        # degenerate-pdf samples are killed like the reference).
+        r_l0, r_l1 = hash2(i, tbrng.STREAM_ROUGH_REFRACT)
+        lobe_dir, lobe_pdf = bsdf.sample_pow_lobe_soa(
+            exit_dir, mat["roughness"], r_l0, r_l1
+        )
+        rough_boundary = mat["roughness"] >= 0.05
+        exit_dir = v3.where(rough_boundary, lobe_dir, exit_dir)
         med_exit = in_medium & ~scatter_event
+        s["throughput"] = v3.where(
+            med_exit & rough_boundary & (lobe_pdf < EPSILON),
+            vzero3, s["throughput"],
+        )
         new_inside = jnp.where(
             scatter_event, True,
             jnp.where(med_exit & ~tir, False, s["inside"]),
@@ -527,26 +704,9 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
             )
             sh_org = hit_point + normal * EPSILON
             sh_tmax = jnp.where(do_nee, ls["distance"] * (1.0 - 1e-3), 0.0)
-            if cfg.use_brute_force:
-                occluded = brute_force_anyhit_soa(
-                    sh_org, ls["direction"], scene["tri9"], sh_tmax,
-                    tri_opaque=scene.get("tri_shadow_opaque"),
-                )
-            elif cfg.traversal == "pallas":
-                st, _, _, _ = _pallas_closest(
-                    scene, v3.to_rows(sh_org), v3.to_rows(ls["direction"]),
-                    sh_tmax, shadow=True,
-                )
-                occluded = st < sh_tmax
-            else:
-                occluded = traverse_wide(
-                    v3.to_rows(sh_org), v3.to_rows(ls["direction"]),
-                    sh_tmax,
-                    scene["bvh_lo"], scene["bvh_hi"], scene["bvh_children"],
-                    scene["tri_v0"], scene["tri_v1"], scene["tri_v2"],
-                    leaf_size=cfg.leaf_size, any_hit=True,
-                    tri_mask=scene.get("tri_shadow_opaque"),
-                )
+            occluded = _occluded_dispatch(
+                scene, sh_org, ls["direction"], sh_tmax, cfg
+            )
             light_mult = (
                 ls["attenuation"]
                 * diffuse_brdf_soa(ls["direction"], detail_normal)
@@ -567,15 +727,24 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         r_v = jnp.where(i == 0, blue_dir[1], rh_v)
 
         spec_dir = sample_ggx_reflection_soa(
-            s["direction"], normal, mat["roughness"], r_u, r_v
+            s["direction"], detail_normal, mat["roughness"], r_u, r_v
         )
-        diff_dir, _ = sample_cosine_hemisphere_soa(normal, r_u, r_v)
+        diff_dir, _ = sample_cosine_hemisphere_soa(detail_normal, r_u, r_v)
         sss_dir, sss_tir = refract_or_reflect_soa(
             s["direction"], normal,
             cur_ior / jnp.maximum(new_ior, 1e-6), ray_dot_n,
         )
+        # Rough refraction on medium ENTRY too (kernel.glsl:1535-1556).
+        entry_lobe, entry_pdf = bsdf.sample_pow_lobe_soa(
+            sss_dir, mat["roughness"], r_l0, r_l1
+        )
+        sss_dir = v3.where(rough_boundary, entry_lobe, sss_dir)
 
         surf_sss = shading & is_sss & ~spec_ray
+        s["throughput"] = v3.where(
+            surf_sss & rough_boundary & (entry_pdf < EPSILON),
+            vzero3, s["throughput"],
+        )
         new_dir = v3.where(
             spec_ray, spec_dir, v3.where(is_sss, sss_dir, diff_dir)
         )
@@ -592,9 +761,9 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
 
         # --- throughput update (kernel.glsl:1699-1772) ------------------
         prev_dir = s["direction"]
-        diffuse_pdf = v3.dot(new_dir, normal) / jnp.pi
-        half = half_vector_safe_soa(-prev_dir, new_dir, normal)
-        spec_pdf = ggx_reflection_pdf_soa(normal, new_dir, half,
+        diffuse_pdf = v3.dot(new_dir, detail_normal) / jnp.pi
+        half = half_vector_safe_soa(-prev_dir, new_dir, detail_normal)
+        spec_pdf = ggx_reflection_pdf_soa(detail_normal, new_dir, half,
                                           mat["roughness"])
         pdf = jnp.where(
             allows_spec,

@@ -123,6 +123,7 @@ class PerformanceSettings:
     enable_next_event_estimation: bool = True
     enable_sampling_importance_resampling: bool = False
     enable_adaptive_sampling: bool = False
+    enable_normal_maps: bool = True  # perFrameConstants.EnableNormalMaps
     convergence_percent_pad: float = 0.05
     # Wavefront-specific (no reference analog): rays processed per wave and
     # whether pools are compacted between bounces.
