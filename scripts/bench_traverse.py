@@ -106,12 +106,13 @@ def make_ray_sets(cs, n_rays, rng):
     return dict(primary=primary, bounce=bounce, shadow=shadow, dead=dead)
 
 
-def coherence_sort(o, d, lo, hi, mode="oct-org"):
+def coherence_sort(o, d, lo, hi, mode="oct-org", tm=None):
     """Sort-key variants for packet formation."""
     import numpy as np
 
     if mode == "none":
         return np.arange(o.shape[0])
+    tm_dead = None if tm is None else (tm <= 0).astype(np.uint64)
     ext = np.maximum(hi - lo, 1e-12)
     q = np.clip((o - lo) / ext * 1023.0, 0, 1023).astype(np.uint64)
 
@@ -134,7 +135,11 @@ def coherence_sort(o, d, lo, hi, mode="oct-org"):
         | (spread(qd[:, 1] << 2) << 1)
         | spread(qd[:, 2] << 2)
     )
-    if mode == "oct-org":
+    if mode == "oct-org-compact":
+        # dead-last bit: the packet-world ray compaction A/B
+        key = (octant << 30) | morton
+        key = key | ((tm_dead << 34) if tm_dead is not None else 0)
+    elif mode == "oct-org":
         key = (octant << 30) | morton
     elif mode == "org-oct":
         key = (morton << 3) | octant
@@ -160,6 +165,9 @@ def main():
                     help="comma list: oct-org,org-oct,org-dir,dir-org,none")
     ap.add_argument("--stats", action="store_true",
                     help="also report per-packet pop/cluster counters (v2)")
+    ap.add_argument("--dead-frac", type=float, default=0.0,
+                    help="kill this fraction of rays (t_max=0); compare "
+                         "sort oct-org vs oct-org-compact")
     args = ap.parse_args()
 
     import numpy as np
@@ -228,7 +236,11 @@ def main():
     for set_name in args.sets.split(","):
         for sort_mode in args.sort.split(","):
             o, d, tm = sets[set_name]
-            perm = coherence_sort(o, d, lo, hi, sort_mode)
+            if args.dead_frac > 0:
+                tm = tm.copy()
+                kill = np.random.default_rng(1).random(tm.shape[0])
+                tm[kill < args.dead_frac] = 0.0
+            perm = coherence_sort(o, d, lo, hi, sort_mode, tm=tm)
             o, d, tm = o[perm], d[perm], tm[perm]
             oj, dj, tmj = jnp.asarray(o), jnp.asarray(d), jnp.asarray(tm)
             if args.stats:

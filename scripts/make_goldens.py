@@ -1,0 +1,68 @@
+"""Generate converged golden renders consumed by bench.py's fidelity and
+time-to-PSNR gates. Run once on TPU hardware; goldens/ is committed.
+
+  python scripts/make_goldens.py [--only cornell_512,...]
+
+Goldens (linear radiance EXRs):
+  cornell_512.exr      cornell-box 512x512, 1024 spp
+  cornell_1080p.exr    cornell-box 1920x1088, 256 spp
+  vwvan_512x320.exr    vw-van 512x320, 256 spp (pallas backend)
+"""
+
+import argparse
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "goldens")
+
+JOBS = {
+    "cornell_512": ("/root/reference/Scenes/cornell-box/scene.pbrt",
+                    (512, 512), 1024),
+    "cornell_1080p": ("/root/reference/Scenes/cornell-box/scene.pbrt",
+                      (1920, 1088), 256),
+    "vwvan_512x320": ("/root/reference/Scenes/vw-van/vw-van.pbrt",
+                      (512, 320), 256),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="")
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else set(JOBS)
+
+    import numpy as np
+
+    from tracerboy_tpu.core.image_io import write_exr
+    from tracerboy_tpu.renderer import Renderer
+
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for name, (path, film, spp) in JOBS.items():
+        if name not in only:
+            continue
+        out = os.path.join(GOLDEN_DIR, f"{name}.exr")
+        if os.path.exists(out):
+            print(f"{name}: exists, skipping")
+            continue
+        t0 = time.time()
+        r = Renderer(path, film_size=film)
+        print(f"{name}: backend={r.traversal}, {spp} spp @ {film} ...")
+        done = 0
+        while done < spp:
+            n = min(args.batch, spp - done)
+            r.render_sample(n)
+            done += n
+            if done % 64 == 0 or done == spp:
+                print(f"  [{time.time()-t0:7.1f}s] {done}/{spp} spp")
+        img = np.asarray(r.resolve_radiance()).astype(np.float32)
+        write_exr(out, {
+            "R": img[..., 0], "G": img[..., 1], "B": img[..., 2],
+        })
+        print(f"{name}: wrote {out} ({time.time()-t0:.0f}s)")
+
+
+if __name__ == "__main__":
+    main()

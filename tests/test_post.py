@@ -206,3 +206,57 @@ class TestML:
         out = upscale2x(p, img)
         assert out.shape == (32, 32, 3)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestAdaptiveRealtime:
+    def test_governor_reference_increment_dynamics(self):
+        """Increment flips sign and accelerates like
+        TracerBoy.cpp:2691-2727; pad stays >= 0."""
+        g = FrameRateGovernor(target_fps=30.0, pad=0.1)
+        for _ in range(25):
+            g.update(0.2)  # consistently slow
+        grown = g.pad
+        assert grown > 0.1
+        for _ in range(60):
+            g.update(0.001)  # consistently fast
+        assert g.pad < grown
+        assert g.pad >= 0.0
+
+    def test_adaptive_mask_from_moments(self):
+        from tracerboy_tpu.post.realtime import adaptive_active_mask
+
+        mu = jnp.full((4, 4), 0.5)
+        noisy = jnp.stack([mu, mu * mu + 0.25, jnp.full((4, 4), 9.0)], -1)
+        clean = jnp.stack([mu, mu * mu, jnp.full((4, 4), 9.0)], -1)
+        m_noisy = adaptive_active_mask(noisy, 0.05, 0.0, jnp.int32(100))
+        m_clean = adaptive_active_mask(clean, 0.05, 0.0, jnp.int32(100))
+        assert bool(m_noisy.all())
+        assert not bool(m_clean.any())
+        # warmup forces everything active
+        m_warm = adaptive_active_mask(clean, 0.05, 0.0, jnp.int32(2))
+        assert bool(m_warm.all())
+
+    def test_fused_realtime_adaptive_skips_converged(self):
+        import dataclasses
+        import tests.conftest as c
+        from tracerboy_tpu import Renderer
+        from tracerboy_tpu.utils.config import (
+            RenderMode,
+            default_output_settings,
+        )
+
+        path = c.require_scene("cornell-box/scene.pbrt")
+        s = default_output_settings().replace(render_mode=RenderMode.REAL_TIME)
+        s = s.replace(performance_settings=dataclasses.replace(
+            s.performance_settings, target_frame_rate=30.0,
+            min_convergence=0.5,  # aggressive so pixels converge fast
+        ))
+        r = Renderer(path, settings=s, film_size=(32, 32))
+        lives = []
+        for _ in range(12):
+            img = r.render_realtime_frame_fused()
+            lives.append(float(r._rt_live_pixels))
+        img = np.asarray(img)
+        assert np.isfinite(img).all()
+        assert lives[0] == 32 * 32          # warmup: all pixels live
+        assert lives[-1] < 32 * 32          # some pixels went inactive

@@ -139,23 +139,65 @@ def _realtime_frame_jit(
 
 
 class FrameRateGovernor:
-    """Adaptive-sampling throttle (TracerBoy.cpp:2691-2727): every 5
-    frames, nudge the convergence-percent pad up/down to hit the target
-    frame rate."""
+    """Adaptive-sampling throttle, reference semantics
+    (TracerBoy.cpp:2691-2727): every FRAMES_PER_INCREMENT frames compare
+    the average frame time to the target, flip or accelerate a signed
+    increment (capped at 25% of the current pad), and accumulate it into
+    ConvergencePercentPad (clamped >= 0). The pad is ADDED to
+    MinConvergence (TracerBoy.cpp:2846-2849), raising the
+    adaptive-dispatch skip threshold — fewer active pixels — whenever
+    the frame rate lags the target."""
 
-    def __init__(self, target_fps: float = 30.0, pad: float = 0.05):
+    FRAMES_PER_INCREMENT = 5
+    DEFAULT_INCREMENT = 0.0001
+
+    def __init__(self, target_fps: float = 30.0, pad: float = 0.1):
         self.target_fps = target_fps
         self.pad = pad
-        self._frame_times = []
+        self.increment = self.DEFAULT_INCREMENT
+        self._frames = 0
+        self._accum = 0.0
 
     def update(self, frame_seconds: float) -> float:
-        self._frame_times.append(frame_seconds)
-        if len(self._frame_times) >= 5:
-            avg = sum(self._frame_times) / len(self._frame_times)
-            fps = 1.0 / max(avg, 1e-6)
-            if fps < self.target_fps * 0.95:
-                self.pad = min(self.pad + 0.05, 0.95)
-            elif fps > self.target_fps * 1.1:
-                self.pad = max(self.pad - 0.01, 0.0)
-            self._frame_times.clear()
+        self._frames += 1
+        self._accum += frame_seconds
+        if self._frames >= self.FRAMES_PER_INCREMENT:
+            frame_time = self._accum / self._frames
+            target = 1.0 / max(self.target_fps, 1e-6)
+            if frame_time < target and self.increment > 0.0:
+                # Faster than target: shrink the pad, more active waves.
+                self.increment = -self.DEFAULT_INCREMENT
+            elif frame_time > target and self.increment < 0.0:
+                self.increment = self.DEFAULT_INCREMENT
+            else:
+                mult = min(
+                    1.0 + 0.25 * abs(frame_time - target)
+                    / max(frame_time, 1e-9),
+                    2.0,
+                )
+                self.increment *= mult
+            cap = max(self.pad * 0.25, self.DEFAULT_INCREMENT)
+            if abs(self.increment) > cap:
+                self.increment = cap if self.increment > 0 else -cap
+            self.pad = max(0.0, self.pad + self.increment)
+            self._frames = 0
+            self._accum = 0.0
         return self.pad
+
+
+def adaptive_active_mask(moments, min_convergence, pad, frame_index,
+                         warmup: int = 8):
+    """Per-pixel RealTime adaptive-dispatch mask from the TAA moment
+    buffer: a pixel stays active while its relative luma noise exceeds
+    MinConvergence + ConvergencePercentPad (the VarianceUtil.h skip test
+    re-expressed on the SVGF moments instead of the dual accumulators).
+
+    moments: (H, W, 3) = (luma mu, luma mu^2, sample count).
+    Returns a flat (H*W,) bool mask; everything active during warmup.
+    """
+    mu = moments[..., 0]
+    var = jnp.maximum(moments[..., 1] - mu * mu, 0.0)
+    err = jnp.sqrt(var) / jnp.maximum(jnp.abs(mu), 1e-4)
+    active = err > (min_convergence + pad)
+    active = active | (frame_index < warmup)
+    return active.reshape(-1)

@@ -81,9 +81,13 @@ class Renderer:
     @staticmethod
     def _pick_traversal(scene: CompiledScene) -> str:
         """Backend policy: brute force for tiny scenes (zero gathers beats
-        any traversal), the Pallas packet kernel when the packed BVH +
-        triangles fit VMEM, lock-step jnp traversal otherwise. Override
-        with TB_TRAVERSAL=brute|pallas|jnp."""
+        any traversal); otherwise the Pallas packet kernel — wide nodes
+        stay VMEM-resident, triangle clusters stream from HBM with
+        enqueue-time DMA when their table is large (v2 kernel; verified
+        on hardware up to vw-van's 700k triangles). The lock-step jnp
+        traversal remains for scenes whose *node* table alone would not
+        fit VMEM, and as the portable oracle. Override with
+        TB_TRAVERSAL=brute|pallas|jnp."""
         import os
 
         forced = os.environ.get("TB_TRAVERSAL")
@@ -92,14 +96,11 @@ class Renderer:
         T = scene.tri_v0.shape[0]
         if T <= 2048:
             return "brute"
-        # The packet kernel keeps nodes + triangle clusters in VMEM;
-        # ~512 B per wide node (~T/40) plus 512 B per 8-tri cluster.
-        # (The HBM cluster-streaming variant exists behind
-        # traverse_packets(tris_in_hbm=True) but faulted on hardware —
-        # kept experimental until the DMA path is hardened.)
-        vmem = (T // 40 + 16) * 512 + (T // 8 + 3) * 512
-        # 13 MB measured to fit alongside ray blocks on v5e (teapot).
-        if vmem <= 13 * 2**20:
+        # ~512 B per 8-wide node row; ~T/8 clusters collapse ~7:1.
+        # vw-van's 878k tris (21 MB node table) compiles and runs on
+        # hardware; beyond that fall back to the lock-step oracle.
+        nodes_bytes = (T // 56 + 16) * 512
+        if nodes_bytes <= 22 * 2**20:
             return "pallas"
         return "jnp"
 
@@ -193,6 +194,7 @@ class Renderer:
             filter_type=int(s.camera_settings.filter_type),
             filter_width=s.camera_settings.filter_width,
             use_blue_noise=perf.use_blue_noise,
+            compact_dead_rays=perf.enable_ray_compaction,
             decouple_albedo=(s.render_mode == RenderMode.REAL_TIME),
             has_env=self.compiled.has_env,
             has_mix=bool(
@@ -324,9 +326,20 @@ class Renderer:
     def render_realtime_frame_fused(self, as_numpy: bool = False):
         """One RealTime frame as a SINGLE device program (trace + TAA +
         denoise + composite + display) — one dispatch per frame, the
-        latency-optimal path for interactive use."""
+        latency-optimal path for interactive use.
+
+        Adaptive dispatch + frame-rate governor (TracerBoy.cpp:2691-2727
+        and 2846-2849): when target_frame_rate > 0, a per-pixel mask from
+        the TAA moment buffer skips converged pixels (their trace, AOVs
+        and raw lighting are reused from history), and the governor's
+        ConvergencePercentPad widens the skip threshold whenever the
+        measured frame rate lags the target."""
         from tracerboy_tpu.core.rng import halton23
-        from tracerboy_tpu.post.realtime import _realtime_frame_jit
+        from tracerboy_tpu.post.realtime import (
+            FrameRateGovernor,
+            _realtime_frame_jit,
+            adaptive_active_mask,
+        )
         from tracerboy_tpu.post.pipeline import display_transform
         from tracerboy_tpu.trace.wavefront import render_wave
 
@@ -338,10 +351,18 @@ class Renderer:
             self._rt_hist_fused = dict(
                 indirect=z3, moments=z3, final=z3,
                 prev_world_pos=_zeros(h, w, 4),
+                raw=z3,
+                aovs=dict(
+                    albedo=z3, normal=z3, world_pos=_zeros(h, w, 4),
+                    emissive=z3,
+                    diffuse_contrib=jnp.zeros((h, w), jnp.float32),
+                ),
             )
         first = frame == 0
         cam_prev = getattr(self, "_cam_prev", None) or self.scene_pytree["camera"]
         s = self.settings
+        perf = s.performance_settings
+        adaptive = perf.target_frame_rate > 0
 
         if not hasattr(self, "_rt_step"):
             import functools
@@ -349,23 +370,50 @@ class Renderer:
             @functools.partial(
                 jax.jit,
                 static_argnames=("cfg", "den", "tonemap_type", "gamma",
-                                 "auto_exp", "first"),
+                                 "auto_exp", "first", "adaptive"),
             )
             def step(scene, params, pixel_ids, sample_index, history,
-                     cam_prev_, cfg, den, tonemap_type, gamma, auto_exp,
-                     first):
+                     cam_prev_, threshold, cfg, den, tonemap_type, gamma,
+                     auto_exp, first, adaptive):
+                if adaptive and not first:
+                    active = adaptive_active_mask(
+                        history["moments"], threshold, 0.0, sample_index
+                    )
+                    params = dict(params, active_mask=active)
+                else:
+                    active = jnp.ones((h * w,), bool)
                 out = render_wave(scene, params, pixel_ids, sample_index,
                                   cfg)
-                raw = out["radiance"].reshape(h, w, 3)
+                am = active.reshape(h, w)[..., None]
+                raw = jnp.where(
+                    am, out["radiance"].reshape(h, w, 3), history["raw"]
+                )
+                ha = history["aovs"]
                 aovs = dict(
-                    albedo=out["albedo"].reshape(h, w, 3),
-                    normal=out["normal"].reshape(h, w, 3),
-                    world_pos=jnp.concatenate(
-                        [out["world_pos"].reshape(h, w, 3),
-                         out["neighbor_dist"].reshape(h, w, 1)], axis=-1,
+                    albedo=jnp.where(
+                        am, out["albedo"].reshape(h, w, 3), ha["albedo"]
                     ),
-                    emissive=out["emissive"].reshape(h, w, 3),
-                    diffuse_contrib=out["diffuse_contrib"].reshape(h, w),
+                    normal=jnp.where(
+                        am, out["normal"].reshape(h, w, 3), ha["normal"]
+                    ),
+                    world_pos=jnp.where(
+                        am,
+                        jnp.concatenate(
+                            [out["world_pos"].reshape(h, w, 3),
+                             out["neighbor_dist"].reshape(h, w, 1)],
+                            axis=-1,
+                        ),
+                        ha["world_pos"],
+                    ),
+                    emissive=jnp.where(
+                        am, out["emissive"].reshape(h, w, 3),
+                        ha["emissive"],
+                    ),
+                    diffuse_contrib=jnp.where(
+                        am[..., 0],
+                        out["diffuse_contrib"].reshape(h, w),
+                        ha["diffuse_contrib"],
+                    ),
                 )
                 display, new_hist = _realtime_frame_jit(
                     raw, aovs, history, cam_prev_,
@@ -373,23 +421,39 @@ class Renderer:
                     denoiser_settings=den, history_weight=0.95,
                     ignore_history=first,
                 )
+                new_hist["raw"] = raw
+                new_hist["aovs"] = aovs
                 img = display_transform(
                     display, 1.0, tonemap_type, gamma, auto_exp
                 )
-                return img, new_hist
+                return img, new_hist, jnp.sum(active)
 
             self._rt_step = step
         step = self._rt_step
 
+        if not hasattr(self, "_governor"):
+            self._governor = FrameRateGovernor(
+                target_fps=perf.target_frame_rate,
+                pad=perf.convergence_percent_pad,
+            )
+        now = time.time()
+        last = getattr(self, "_rt_last_time", None)
+        if last is not None:
+            self._governor.update(now - last)
+        self._rt_last_time = now
+        threshold = jnp.float32(perf.min_convergence + self._governor.pad)
+
         offset = halton23(jnp.int32(frame))
-        img, self._rt_hist_fused = step(
+        img, self._rt_hist_fused, live = step(
             self.scene_pytree, self.frame_params(fixed_offset=offset),
             jnp.arange(w * h, dtype=jnp.int32), jnp.int32(frame),
-            self._rt_hist_fused, cam_prev, cfg,
+            self._rt_hist_fused, cam_prev, threshold, cfg,
             s.denoiser_settings, int(s.post_settings.tonemap_type),
             s.post_settings.enable_gamma_correction,
             s.post_settings.enable_auto_exposure, bool(first),
+            bool(adaptive),
         )
+        self._rt_live_pixels = live
         self.state.spp += 1
         self._cam_prev = jax.tree_util.tree_map(
             lambda x: x, self.scene_pytree["camera"]

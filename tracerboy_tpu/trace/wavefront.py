@@ -48,10 +48,17 @@ EPSILON = 1e-4
 MIN_BOUNCES_BEFORE_RR = 2  # kernel.glsl:1276-1277
 
 
-def _coherence_sort(origin, direction, world_lo, world_hi):
+def _coherence_sort(origin, direction, world_lo, world_hi, t_max=None):
     """Sort key grouping rays into coherent packets: direction octant
     (3 bits) then origin morton (the wavefront ray-sorting step; the
-    paper-backed divergence mitigation from SURVEY.md 7.0)."""
+    paper-backed divergence mitigation from SURVEY.md 7.0).
+
+    When t_max is given, dead rays (t_max <= 0) sort to the END of the
+    pool — they collapse into all-dead packets whose traversal exits
+    after one node pop. This is the packet-world form of ray stream
+    compaction (PerformanceSettings.enable_ray_compaction): live-lane
+    occupancy per packet rises without any scatter/gather repacking.
+    """
     oct_bits = (
         (direction[:, 0] >= 0).astype(jnp.uint32)
         | ((direction[:, 1] >= 0).astype(jnp.uint32) << 1)
@@ -71,10 +78,14 @@ def _coherence_sort(origin, direction, world_lo, world_hi):
     morton = (
         (spread8(q[:, 0]) << 2) | (spread8(q[:, 1]) << 1) | spread8(q[:, 2])
     )
-    return (oct_bits << 24) | (morton >> 3)
+    key = (oct_bits << 24) | (morton >> 3)
+    if t_max is not None:
+        key = key | ((t_max <= 0.0).astype(jnp.uint32) << 27)
+    return key
 
 
-def _pallas_sorted(scene, origin, direction, t_max, shadow: bool):
+def _pallas_sorted(scene, origin, direction, t_max, shadow: bool,
+                   compact: bool = True):
     """Common packet prep: coherence sort, pad, pick the packed BVH."""
     from tracerboy_tpu.trace.pallas_traverse2 import (
         PACKET,
@@ -83,7 +94,8 @@ def _pallas_sorted(scene, origin, direction, t_max, shadow: bool):
 
     N = origin.shape[0]
     key = _coherence_sort(
-        origin, direction, scene["world_lo"], scene["world_hi"]
+        origin, direction, scene["world_lo"], scene["world_hi"],
+        t_max=t_max if compact else None,
     )
     perm = jnp.argsort(key)
     pad = (-N) % (PACKET * PACKETS_PER_BLOCK)
@@ -110,12 +122,13 @@ def _pallas_sorted(scene, origin, direction, t_max, shadow: bool):
     return o_s, d_s, tmax_p, packed, tris_in_hbm, inv, prefix
 
 
-def _pallas_closest(scene, origin, direction, t_max, shadow: bool):
+def _pallas_closest(scene, origin, direction, t_max, shadow: bool,
+                    compact: bool = True):
     """Packet traversal (v2 kernel) with coherence sorting + padding."""
     from tracerboy_tpu.trace.pallas_traverse2 import traverse_packets2
 
     o_s, d_s, tmax_p, packed, tris_in_hbm, inv, prefix = _pallas_sorted(
-        scene, origin, direction, t_max, shadow
+        scene, origin, direction, t_max, shadow, compact=compact
     )
     t, tri, u, v = traverse_packets2(
         o_s, d_s, tmax_p, packed, tris_in_hbm=tris_in_hbm
@@ -126,12 +139,12 @@ def _pallas_closest(scene, origin, direction, t_max, shadow: bool):
     return t[inv], tri[inv], u[inv], v[inv]
 
 
-def _pallas_anyhit(scene, origin, direction, t_max):
+def _pallas_anyhit(scene, origin, direction, t_max, compact: bool = True):
     """Occlusion-only packet traversal over the shadow BVH (v2 kernel)."""
     from tracerboy_tpu.trace.pallas_traverse2 import anyhit_packets2
 
     o_s, d_s, tmax_p, packed, tris_in_hbm, inv, _ = _pallas_sorted(
-        scene, origin, direction, t_max, shadow=True
+        scene, origin, direction, t_max, shadow=True, compact=compact
     )
     occ = anyhit_packets2(
         o_s, d_s, tmax_p, packed, tris_in_hbm=tris_in_hbm
@@ -182,7 +195,8 @@ def _closest_once(scene, o_v3, d_v3, t_max, cfg, shadow=False):
         cost = jnp.full_like(t_max, float(scene["tri9"].shape[0]))
     elif cfg.traversal == "pallas":
         t, tri, u, v = _pallas_closest(
-            scene, v3.to_rows(o_v3), v3.to_rows(d_v3), t_max, shadow=shadow
+            scene, v3.to_rows(o_v3), v3.to_rows(d_v3), t_max, shadow=shadow,
+            compact=cfg.compact_dead_rays,
         )
         cost = jnp.zeros_like(t_max)
     else:
@@ -246,7 +260,8 @@ def _occluded_dispatch(scene, o_v3, d_v3, t_max, cfg):
             )
         if cfg.traversal == "pallas":
             return _pallas_anyhit(
-                scene, v3.to_rows(o_v3), v3.to_rows(d_v3), t_max
+                scene, v3.to_rows(o_v3), v3.to_rows(d_v3), t_max,
+                compact=cfg.compact_dead_rays,
             )
         return traverse_wide(
             v3.to_rows(o_v3), v3.to_rows(d_v3), t_max,
@@ -312,6 +327,9 @@ class WaveConfig:
     alpha_rounds: int = 3
     # Normal mapping (GetDetailNormal, RayGenCommon.h:273-295).
     has_normal_maps: bool = False
+    # Packet-world ray compaction: sort dead lanes into all-dead packets
+    # (PerformanceSettings.enable_ray_compaction; A/B in bench_traverse).
+    compact_dead_rays: bool = True
     # AOV production (first-hit albedo/normal/world-pos/...): required for
     # RealTime mode, denoisers and debugging; pure progressive
     # accumulation can skip the writes + padded output traffic.
