@@ -576,9 +576,15 @@ def load_scene(path: str, use_cache: bool = True, film_size=None) -> CompiledSce
             return load_compiled(cache)
         except Exception:
             pass
-    from tracerboy_tpu.scene.pbrt_parser import parse_pbrt
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".obj", ".stl", ".gltf", ".glb"):
+        from tracerboy_tpu.scene.mesh_import import import_mesh_scene
 
-    scene_ir = parse_pbrt(path)
+        scene_ir = import_mesh_scene(path)
+    else:
+        from tracerboy_tpu.scene.pbrt_parser import parse_pbrt
+
+        scene_ir = parse_pbrt(path)
     cs = compile_scene(scene_ir, film_size=film_size)
     if use_cache and film_size is None:
         try:

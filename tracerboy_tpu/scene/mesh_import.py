@@ -30,6 +30,8 @@ def import_mesh_scene(path: str) -> SceneIR:
         return load_obj(path)
     if ext == ".stl":
         return load_stl(path)
+    if ext in (".gltf", ".glb"):
+        return load_gltf(path)
     raise ValueError(f"unsupported mesh format: {ext}")
 
 
@@ -160,6 +162,239 @@ def load_obj(path: str) -> SceneIR:
         if e is not None:
             mesh.emission = e
         scene.shapes.append(mesh)
+
+    _default_camera(scene)
+    return scene
+
+
+# ----------------------------------------------------------------------------
+# glTF 2.0 (.gltf JSON + .bin / data URIs, and the .glb binary container)
+
+_GLTF_COMPONENT = {
+    5120: np.int8, 5121: np.uint8, 5122: np.int16,
+    5123: np.uint16, 5125: np.uint32, 5126: np.float32,
+}
+_GLTF_ARITY = {
+    "SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4,
+    "MAT2": 4, "MAT3": 9, "MAT4": 16,
+}
+
+
+def _gltf_buffers(doc: dict, base_dir: str, glb_bin: bytes | None):
+    import base64
+
+    bufs = []
+    for b in doc.get("buffers", []):
+        uri = b.get("uri")
+        if uri is None:
+            bufs.append(glb_bin or b"")
+        elif uri.startswith("data:"):
+            bufs.append(base64.b64decode(uri.split(",", 1)[1]))
+        else:
+            from urllib.parse import unquote
+
+            with open(os.path.join(base_dir, unquote(uri)), "rb") as f:
+                bufs.append(f.read())
+    return bufs
+
+
+def _gltf_accessor(doc: dict, bufs: list, idx: int) -> np.ndarray:
+    """Accessor -> (count, arity) float32/int array (sparse unsupported)."""
+    acc = doc["accessors"][idx]
+    arity = _GLTF_ARITY[acc["type"]]
+    dtype = _GLTF_COMPONENT[acc["componentType"]]
+    count = acc["count"]
+    bv = doc["bufferViews"][acc["bufferView"]]
+    data = bufs[bv["buffer"]]
+    start = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
+    stride = bv.get("byteStride") or arity * np.dtype(dtype).itemsize
+    raw = np.frombuffer(
+        data, np.uint8, count=max((count - 1) * stride, 0)
+        + arity * np.dtype(dtype).itemsize, offset=start,
+    )
+    out = np.lib.stride_tricks.as_strided(
+        raw[: 1].view(dtype), shape=(count, arity),
+        strides=(stride, np.dtype(dtype).itemsize), writeable=False,
+    ) if stride != arity * np.dtype(dtype).itemsize else (
+        raw.view(dtype)[: count * arity].reshape(count, arity)
+    )
+    out = np.array(out)  # own the memory
+    if acc.get("normalized") and dtype != np.float32:
+        out = out.astype(np.float32) / float(np.iinfo(dtype).max)
+    return out
+
+
+def _gltf_node_transform(node: dict) -> np.ndarray:
+    if "matrix" in node:
+        return np.asarray(node["matrix"], np.float32).reshape(4, 4).T
+    m = np.eye(4, dtype=np.float32)
+    if "scale" in node:
+        m = m @ np.diag(list(node["scale"]) + [1.0]).astype(np.float32)
+    if "rotation" in node:  # xyzw quaternion
+        x, y, z, w = node["rotation"]
+        r = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ], np.float32)
+        r4 = np.eye(4, dtype=np.float32)
+        r4[:3, :3] = r
+        m = r4 @ m
+    if "translation" in node:
+        t = np.eye(4, dtype=np.float32)
+        t[:3, 3] = node["translation"]
+        m = t @ m
+    return m
+
+
+def load_gltf(path: str) -> SceneIR:
+    """glTF 2.0 importer: node hierarchy flattened to world space,
+    pbrMetallicRoughness mapped onto the uber/metal material models, and
+    emissive materials promoted to area lights — the AssimpImporter
+    semantics (AssimpImporter.cpp:41-177) for the modern interchange
+    format."""
+    import json
+
+    scene = SceneIR(base_dir=os.path.dirname(os.path.abspath(path)))
+    glb_bin = None
+    if path.lower().endswith(".glb"):
+        with open(path, "rb") as f:
+            blob = f.read()
+        assert blob[:4] == b"glTF", "bad GLB magic"
+        n = len(blob)
+        off = 12
+        doc = None
+        while off + 8 <= n:
+            (clen,) = np.frombuffer(blob, np.uint32, 1, off)
+            ctype = blob[off + 4: off + 8]
+            payload = blob[off + 8: off + 8 + int(clen)]
+            if ctype == b"JSON":
+                doc = json.loads(payload)
+            elif ctype == b"BIN\x00":
+                glb_bin = payload
+            off += 8 + int(clen) + ((-int(clen)) % 4)
+        assert doc is not None, "GLB without JSON chunk"
+    else:
+        with open(path, "r") as f:
+            doc = json.load(f)
+
+    bufs = _gltf_buffers(doc, scene.base_dir, glb_bin)
+
+    # Texture index -> image file path (data-URI images unsupported).
+    def tex_file(tex_idx):
+        try:
+            img = doc["images"][doc["textures"][tex_idx]["source"]]
+            return img.get("uri")
+        except (KeyError, IndexError):
+            return None
+
+    # Materials -> IR.
+    mat_names = []
+    emissive_of = {}
+    for mi, gm in enumerate(doc.get("materials", [])):
+        name = gm.get("name") or f"gltf_mat_{mi}"
+        pbr = gm.get("pbrMetallicRoughness", {})
+        base = np.asarray(
+            pbr.get("baseColorFactor", [1, 1, 1, 1]), np.float32
+        )
+        metallic = float(pbr.get("metallicFactor", 1.0))
+        rough = float(pbr.get("roughnessFactor", 1.0))
+        m = MaterialIR(
+            name=name, type="disney" if metallic > 0.5 else "uber",
+            color=base[:3], kd=base[:3], roughness=rough,
+            metallic=metallic, index=1.5,
+            opacity=np.ones(3, np.float32),
+        )
+        bct = pbr.get("baseColorTexture")
+        if bct is not None:
+            fn = tex_file(bct["index"])
+            if fn:
+                m.map_kd = f"__gltf_tex_{mi}"
+                scene.textures[m.map_kd] = TextureIR(
+                    name=m.map_kd, type="imagemap", filename=fn,
+                )
+        nt = gm.get("normalTexture")
+        if nt is not None:
+            fn = tex_file(nt["index"])
+            if fn:
+                m.map_normal = f"__gltf_nrm_{mi}"
+                scene.textures[m.map_normal] = TextureIR(
+                    name=m.map_normal, type="imagemap", filename=fn,
+                    gamma=False,
+                )
+        scene.materials[name] = m
+        mat_names.append(name)
+        emis = np.asarray(gm.get("emissiveFactor", [0, 0, 0]), np.float32)
+        emissive_of[name] = emis if emis.max() > 0 else None
+
+    if not mat_names:
+        scene.materials["default"] = MaterialIR(
+            name="default", type="matte",
+            kd=np.array([0.7, 0.7, 0.7], np.float32),
+        )
+
+    # Node hierarchy -> world-space meshes.
+    nodes = doc.get("nodes", [])
+    scene_nodes = doc.get("scenes", [{}])[doc.get("scene", 0)].get(
+        "nodes", list(range(len(nodes)))
+    )
+
+    def emit_mesh(mesh_idx, xform):
+        gmesh = doc["meshes"][mesh_idx]
+        nrm_mat = np.linalg.inv(xform[:3, :3]).T
+        for prim in gmesh.get("primitives", []):
+            if prim.get("mode", 4) != 4:  # triangles only
+                continue
+            attrs = prim["attributes"]
+            pos = _gltf_accessor(doc, bufs, attrs["POSITION"]).astype(
+                np.float32
+            )
+            pos = pos @ xform[:3, :3].T + xform[:3, 3]
+            nrm = None
+            if "NORMAL" in attrs:
+                nrm = _gltf_accessor(doc, bufs, attrs["NORMAL"]).astype(
+                    np.float32
+                ) @ nrm_mat.T
+                nrm /= np.maximum(
+                    np.linalg.norm(nrm, axis=1, keepdims=True), 1e-12
+                )
+            uv = None
+            if "TEXCOORD_0" in attrs:
+                uv = _gltf_accessor(doc, bufs, attrs["TEXCOORD_0"]).astype(
+                    np.float32
+                )[:, :2]
+                # glTF v points down; pbrt convention points up.
+                uv = np.stack([uv[:, 0], 1.0 - uv[:, 1]], axis=1)
+            if "indices" in prim:
+                idx = _gltf_accessor(doc, bufs, prim["indices"])
+                idx = idx.reshape(-1).astype(np.int64).reshape(-1, 3)
+            else:
+                idx = np.arange(len(pos), dtype=np.int64).reshape(-1, 3)
+            mat = (
+                mat_names[prim["material"]]
+                if "material" in prim and prim["material"] < len(mat_names)
+                else (mat_names[0] if mat_names else "default")
+            )
+            mesh = TriangleMeshIR(
+                indices=idx.astype(np.int32),
+                positions=pos.astype(np.float32),
+                normals=nrm, uvs=uv, material=mat,
+            )
+            e = emissive_of.get(mat)
+            if e is not None:
+                mesh.emission = e
+            scene.shapes.append(mesh)
+
+    def walk(node_idx, parent):
+        node = nodes[node_idx]
+        xform = parent @ _gltf_node_transform(node)
+        if "mesh" in node:
+            emit_mesh(node["mesh"], xform)
+        for child in node.get("children", []):
+            walk(child, xform)
+
+    for root in scene_nodes:
+        walk(root, np.eye(4, dtype=np.float32))
 
     _default_camera(scene)
     return scene
