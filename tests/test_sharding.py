@@ -73,3 +73,86 @@ def test_spp_sharded_matches_sequential(small_scene):
         np.asarray(fw_sh), np.asarray(fw_seq), rtol=1e-5, atol=1e-5
     )
     assert float(rays_sh) > 0
+
+
+def test_tiled_nondivisible_padding(small_scene):
+    """Pixel counts that don't divide the mesh get padded lanes; padded
+    output must not pollute the real pixels."""
+    scene, cfg, params = small_scene
+    import dataclasses
+
+    W, H = 30, 19  # 570 pixels, not divisible by 8
+    cfg = dataclasses.replace(cfg, width=W, height=H)
+    mesh = make_mesh()
+    pixel_ids, pad = shard_pixels(mesh, W, H)
+    assert pad == (-W * H) % 8 and pad > 0
+    out = render_wave_tiled(mesh, scene, params, pixel_ids, jnp.int32(0), cfg)
+    tiled = np.asarray(out["radiance"])[: W * H]
+    single = np.asarray(
+        render_wave(scene, params, jnp.arange(W * H, dtype=jnp.int32),
+                    jnp.int32(0), cfg)["radiance"]
+    )
+    np.testing.assert_allclose(tiled, single, atol=1e-5)
+
+
+def test_tiled_pallas_backend(small_scene):
+    """The pallas packet backend under tile sharding (interpret kernels
+    on the CPU mesh) matches the brute single-device render."""
+    import dataclasses
+
+    import tests.conftest as c
+    from tests.test_pallas import _patch_interpret
+    import tracerboy_tpu.trace.pallas_traverse2 as pt2
+
+    path = c.require_scene("cornell-box/scene.pbrt")
+    cs = load_scene(path, use_cache=False, film_size=(16, 16))
+    scene = cs.as_pytree(pack_pallas=True)
+    params = dict(
+        dof_focus=jnp.float32(0.0), dof_aperture=jnp.float32(0.0),
+        firefly_clamp=jnp.float32(0.0), seed=jnp.int32(0),
+    )
+    base = WaveConfig(
+        width=16, height=16, max_bounces=2, leaf_size=cs.leaf_size,
+        num_lights=cs.num_lights, has_env=cs.has_env,
+        use_blue_noise=False,
+    )
+    cfg_p = dataclasses.replace(base, traversal="pallas")
+    cfg_b = dataclasses.replace(base, traversal="brute")
+    mesh = make_mesh()
+    ids = jnp.arange(16 * 16, dtype=jnp.int32)
+    orig_c, orig_a = _patch_interpret(pt2)
+    try:
+        out = render_wave_tiled(mesh, scene, params, ids, jnp.int32(0),
+                                cfg_p)
+        tiled = np.asarray(out["radiance"])
+    finally:
+        pt2.traverse_packets2 = orig_c
+        pt2.anyhit_packets2 = orig_a
+    single = np.asarray(
+        render_wave(scene, params, ids, jnp.int32(0), cfg_b)["radiance"]
+    )
+    np.testing.assert_allclose(tiled, single, atol=1e-4)
+
+
+def test_sharded_accumulation_feeds_post_pipeline(small_scene):
+    """End to end: spp-sharded accumulators -> weighted resolve ->
+    display transform, the full multi-chip progressive loop."""
+    scene, cfg, params = small_scene
+    from tracerboy_tpu.post.pipeline import display_transform
+
+    mesh = make_mesh()
+    ids = jnp.arange(32 * 32, dtype=jnp.int32)
+    rad = jnp.zeros((32 * 32, 3), jnp.float32)
+    fw = jnp.zeros((32 * 32,), jnp.float32)
+    for step in range(2):
+        r, f, _ = render_spp_sharded(
+            mesh, scene, params, ids, jnp.int32(step * 8), cfg,
+            samples_per_device=1,
+        )
+        rad = rad + r
+        fw = fw + f
+    resolved = (rad / jnp.maximum(fw, 1e-8)[:, None]).reshape(32, 32, 3)
+    img = np.asarray(display_transform(resolved, 1.0, 0, True, False))
+    assert img.shape == (32, 32, 3)
+    assert np.isfinite(img).all()
+    assert 0.0 < img.mean() < 1.0
