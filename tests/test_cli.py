@@ -82,3 +82,54 @@ def test_upscale_fsr(tiny_scene, tmp_path):
     from tracerboy_tpu.core.image_io import read_ldr
 
     assert read_ldr(out).shape == (48, 64, 3)
+
+
+class TestViewerPanel:
+    """Viewer settings panel + loading screen (UIController analogs)."""
+
+    def _renderer(self):
+        import tests.conftest as c
+        from tracerboy_tpu import Renderer
+
+        path = c.require_scene("cornell-box/scene.pbrt")
+        return Renderer(path, film_size=(16, 16))
+
+    def test_panel_edits_settings_through_renderer(self):
+        from tracerboy_tpu.app.viewer import SettingsPanel
+
+        r = self._renderer()
+        panel = SettingsPanel(r)
+        assert not panel.visible
+        assert panel.handle_key("tab") and panel.visible
+        assert "max bounces" in panel.text()
+        before = r.settings.performance_settings.max_bounces
+        assert panel.handle_key("right")
+        assert r.settings.performance_settings.max_bounces == before + 1
+        # navigate to tonemap row and cycle it
+        panel.handle_key("down")
+        tm_before = r.settings.post_settings.tonemap_type
+        panel.handle_key("right")
+        assert r.settings.post_settings.tonemap_type != tm_before
+        # keys pass through when hidden
+        panel.handle_key("tab")
+        assert not panel.handle_key("right")
+
+    def test_panel_bounce_change_invalidates_history(self):
+        from tracerboy_tpu.app.viewer import SettingsPanel
+
+        r = self._renderer()
+        r.render_sample()
+        assert r.state.spp == 1
+        panel = SettingsPanel(r)
+        panel.handle_key("tab")
+        panel.handle_key("right")  # max bounces +1 -> invalidates
+        assert r.state.spp == 0
+
+    def test_load_with_progress(self):
+        import tests.conftest as c
+        from tracerboy_tpu.app.viewer import load_with_progress
+
+        path = c.require_scene("cornell-box/scene.pbrt")
+        r = load_with_progress(path, film_size=(8, 8))
+        r.render_sample()
+        assert r.state.spp == 1

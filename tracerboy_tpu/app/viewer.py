@@ -20,6 +20,137 @@ import sys
 import numpy as np
 
 
+class SettingsPanel:
+    """Keyboard-driven runtime settings editor — the UIController panel
+    (UIController.cpp:161-320) without ImGui: rows of (label, get,
+    set(delta)); up/down selects, left/right adjusts, changes flow
+    through Renderer.update_settings so history invalidation follows the
+    same diffing rules as the reference's UpdateOutputSettings."""
+
+    def __init__(self, renderer):
+        import dataclasses
+
+        from tracerboy_tpu.utils.config import TonemapType
+
+        self.renderer = renderer
+        self.visible = False
+        self.row = 0
+
+        def repl(**kw):
+            return renderer.settings.replace(**kw)
+
+        def repl_perf(**kw):
+            return repl(performance_settings=dataclasses.replace(
+                renderer.settings.performance_settings, **kw))
+
+        def repl_post(**kw):
+            return repl(post_settings=dataclasses.replace(
+                renderer.settings.post_settings, **kw))
+
+        def repl_den(**kw):
+            return repl(denoiser_settings=dataclasses.replace(
+                renderer.settings.denoiser_settings, **kw))
+
+        tm_values = list(TonemapType)
+
+        self.rows = [
+            ("max bounces", lambda: renderer.settings
+             .performance_settings.max_bounces,
+             lambda d: repl_perf(max_bounces=max(
+                 1, renderer.settings.performance_settings.max_bounces + d))),
+            ("tonemap", lambda: renderer.settings
+             .post_settings.tonemap_type.name,
+             lambda d: repl_post(tonemap_type=tm_values[
+                 (tm_values.index(
+                     renderer.settings.post_settings.tonemap_type) + d)
+                 % len(tm_values)])),
+            ("exposure", lambda: round(
+                renderer.settings.post_settings.exposure_multiplier, 2),
+             lambda d: repl_post(exposure_multiplier=max(
+                 0.05, renderer.settings.post_settings.exposure_multiplier
+                 * (1.25 if d > 0 else 0.8)))),
+            ("auto exposure", lambda: renderer.settings
+             .post_settings.enable_auto_exposure,
+             lambda d: repl_post(enable_auto_exposure=not renderer
+                                 .settings.post_settings
+                                 .enable_auto_exposure)),
+            ("denoiser", lambda: renderer.settings
+             .denoiser_settings.enabled,
+             lambda d: repl_den(enabled=not renderer.settings
+                                .denoiser_settings.enabled)),
+            ("wavelet iters", lambda: renderer.settings
+             .denoiser_settings.wavelet_iterations,
+             lambda d: repl_den(wavelet_iterations=max(
+                 1, renderer.settings.denoiser_settings
+                 .wavelet_iterations + d))),
+            ("target fps", lambda: renderer.settings
+             .performance_settings.target_frame_rate,
+             lambda d: repl_perf(target_frame_rate=max(
+                 0.0, renderer.settings.performance_settings
+                 .target_frame_rate + 5 * d))),
+            ("NEE", lambda: renderer.settings
+             .performance_settings.enable_next_event_estimation,
+             lambda d: repl_perf(
+                 enable_next_event_estimation=not renderer.settings
+                 .performance_settings.enable_next_event_estimation)),
+            ("normal maps", lambda: renderer.settings
+             .performance_settings.enable_normal_maps,
+             lambda d: repl_perf(
+                 enable_normal_maps=not renderer.settings
+                 .performance_settings.enable_normal_maps)),
+        ]
+
+    def handle_key(self, key) -> bool:
+        """Returns True when the key was consumed by the panel."""
+        if key == "tab":
+            self.visible = not self.visible
+            return True
+        if not self.visible:
+            return False
+        if key == "up":
+            self.row = (self.row - 1) % len(self.rows)
+        elif key == "down":
+            self.row = (self.row + 1) % len(self.rows)
+        elif key in ("left", "right"):
+            _, _, setter = self.rows[self.row]
+            self.renderer.update_settings(setter(1 if key == "right" else -1))
+        else:
+            return False
+        return True
+
+    def text(self) -> str:
+        if not self.visible:
+            return ""
+        lines = ["-- settings ([tab] close, arrows adjust) --"]
+        for i, (label, get, _) in enumerate(self.rows):
+            sel = ">" if i == self.row else " "
+            lines.append(f"{sel} {label}: {get()}")
+        return "\n".join(lines)
+
+
+def load_with_progress(path, film_size):
+    """Async scene load with a loading screen (the reference's
+    SceneLoadStatus loading screen, UIController.cpp:124-140)."""
+    import time
+
+    from tracerboy_tpu.scene.compile import load_scene_async
+    from tracerboy_tpu import Renderer
+
+    stages = []
+    fut = load_scene_async(path, film_size=film_size,
+                           on_progress=stages.append)
+    spinner = "|/-\\"
+    k = 0
+    while not fut.done():
+        stage = stages[-1] if stages else "starting"
+        print(f"\r[{spinner[k % 4]}] loading scene: {stage} ...",
+              end="", flush=True)
+        k += 1
+        time.sleep(0.25)
+    print("\rscene loaded" + " " * 30)
+    return Renderer(fut.result(), film_size=film_size)
+
+
 def run_viewer(renderer, samples_per_frame: int = 1):
     import matplotlib
 
@@ -40,9 +171,19 @@ def run_viewer(renderer, samples_per_frame: int = 1):
     move = 0.25 * renderer.settings.camera_settings.movement_speed
     aov_cycle = [OutputType.LIT, OutputType.ALBEDO, OutputType.NORMAL,
                  OutputType.DEPTH, OutputType.VARIANCE, OutputType.HEATMAP]
+    panel = SettingsPanel(renderer)
+    panel_text = ax.text(
+        0.02, 0.98, "", transform=ax.transAxes, va="top", ha="left",
+        fontsize=9, family="monospace", color="white",
+        bbox=dict(facecolor="black", alpha=0.65, pad=6),
+    )
+    selected = {"mat": None}
 
     def on_key(event):
         k = event.key
+        if panel.handle_key(k):
+            panel_text.set_text(panel.text())
+            return
         cam_moves = {
             "w": dict(forward=move), "s": dict(forward=-move),
             "a": dict(strafe=-move), "d": dict(strafe=move),
@@ -52,6 +193,17 @@ def run_viewer(renderer, samples_per_frame: int = 1):
         }
         if k in cam_moves:
             renderer.move_camera(**cam_moves[k])
+        elif k == "f5":
+            renderer.recompile_shaders()
+            print("shaders recompiled")
+        elif k in ("[", "]") and selected["mat"] is not None:
+            # Live material edit on the picked pixel's material
+            # (the D3D12App.cpp:307-314 round trip).
+            mid = selected["mat"]
+            alb = renderer.get_material(mid)["albedo"]
+            scale = 1.25 if k == "]" else 0.8
+            renderer.set_material(mid, albedo=np.clip(alb * scale, 0, 1))
+            print(f"material {mid} albedo -> {alb * scale}")
         elif k == "m":
             mode = (RenderMode.REAL_TIME
                     if renderer.settings.render_mode == RenderMode.UNBIASED
@@ -74,9 +226,10 @@ def run_viewer(renderer, samples_per_frame: int = 1):
             return
         info = renderer.select_pixel(int(event.xdata), int(event.ydata))
         if info:
+            selected["mat"] = info["material_id"]
             print(f"pixel ({int(event.xdata)}, {int(event.ydata)}): "
                   f"material {info['material_id']} depth {info['depth']:.3f} "
-                  f"albedo {info['albedo']}")
+                  f"albedo {info['albedo']}  ('['/']' edits albedo)")
             print(renderer.get_material(info["material_id"]))
 
     fig.canvas.mpl_connect("key_press_event", on_key)
@@ -96,7 +249,8 @@ def run_viewer(renderer, samples_per_frame: int = 1):
         status.set_text(
             f"{renderer.state.spp} spp | {1.0/max(dt,1e-6):.1f} fps | "
             f"conv {renderer.convergence_error():.4f} | "
-            f"[wasdqe] move [arrows] look [m]ode [o]utput [p] capture"
+            f"[wasdqe] move [arrows] look [m]ode [o]utput [p] capture "
+            f"[tab] settings [f5] reload"
         )
         fig.canvas.draw_idle()
         plt.pause(0.001)
@@ -134,10 +288,8 @@ def main(argv=None):
                    help="samples per displayed frame")
     args = p.parse_args(argv)
 
-    from tracerboy_tpu import Renderer
-
     w, h = (int(x) for x in args.size.lower().split("x"))
-    r = Renderer(args.scene, film_size=(w, h))
+    r = load_with_progress(args.scene, film_size=(w, h))
     if args.turntable:
         run_turntable(r, args.turntable, args.out_dir, args.spp)
     else:
