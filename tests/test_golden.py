@@ -72,3 +72,38 @@ class TestConvergedGoldens:
         tm = lambda x: np.clip(x / (1 + x), 0, 1)
         rmse = np.sqrt(((tm(ours) - tm(gh)) ** 2).mean())
         assert rmse < 0.15, rmse
+
+
+class TestFidelityGateFast:
+    """Default-suite RMSE gate (not @slow): a quick cornell render must
+    track the committed converged golden (goldens/cornell_512.exr) —
+    catches any regression in shading, accumulation or tonemap."""
+
+    GOLDEN = os.path.join(
+        os.path.dirname(__file__), "..", "goldens", "cornell_512.exr"
+    )
+
+    def test_cornell_rmse_vs_converged_golden(self):
+        from PIL import Image
+
+        import tests.conftest as c
+        from tracerboy_tpu import Renderer
+        from tracerboy_tpu.core.image_io import read_exr_rgb
+
+        golden = read_exr_rgb(require(self.GOLDEN))
+        size = 64
+        g = np.asarray(
+            Image.fromarray(
+                (np.clip(golden, 0, 1) ** (1 / 2.2) * 255).astype(np.uint8)
+            ).resize((size, size), Image.BILINEAR),
+            dtype=np.float32,
+        ) / 255.0
+
+        path = c.require_scene("cornell-box/scene.pbrt")
+        r = Renderer(path, film_size=(size, size))
+        r.render_sample(24)
+        img = np.clip(np.asarray(r.resolve_radiance()), 0, 1) ** (1 / 2.2)
+        rmse = float(np.sqrt(np.mean((img - g) ** 2)))
+        # 24 spp of MC noise at 64x64 lands ~0.03-0.05; 0.08 catches
+        # real breakage while staying robust to sampler changes.
+        assert rmse < 0.08, rmse
