@@ -64,12 +64,23 @@ def build_parser():
     p.add_argument("--checkpoint-every", type=int, default=64,
                    help="checkpoint every N samples")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--export-pbf", default=None, metavar="OUT.pbf",
+                   help="serialize the parsed scene as a .pbf binary "
+                        "(the reference's fast-load cache format) and exit")
     p.add_argument("--quiet", "-q", action="store_true")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    if args.export_pbf:
+        from tracerboy_tpu.scene.pbf import write_pbf
+        from tracerboy_tpu.scene.pbrt_parser import parse_pbrt
+
+        write_pbf(args.export_pbf, parse_pbrt(args.scene))
+        print(f"wrote {args.export_pbf}")
+        return 0
 
     from tracerboy_tpu import Renderer
     from tracerboy_tpu.core import image_io

@@ -581,6 +581,10 @@ def load_scene(path: str, use_cache: bool = True, film_size=None) -> CompiledSce
         from tracerboy_tpu.scene.mesh_import import import_mesh_scene
 
         scene_ir = import_mesh_scene(path)
+    elif ext == ".pbf":
+        from tracerboy_tpu.scene.pbf import read_pbf
+
+        scene_ir = read_pbf(path)
     else:
         from tracerboy_tpu.scene.pbrt_parser import parse_pbrt
 
