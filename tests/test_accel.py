@@ -149,3 +149,107 @@ class TestTraversal:
             leaf_size=4,
         )
         assert np.all(np.asarray(tri) == -1)
+
+
+class TestWatertight:
+    """Woop/Benthin/Wald watertight test (TraverseFunction.hlsli:232-313)."""
+
+    def test_agrees_with_moller_trumbore(self):
+        from tracerboy_tpu.trace.intersect import (
+            ray_triangle,
+            ray_triangle_watertight,
+        )
+
+        rng = np.random.default_rng(3)
+        n = 512
+        v0, v1, v2 = random_tris(rng, n, spread=4.0, size=1.0)
+        # Rays aimed at triangle interiors (guaranteed hits) plus random
+        # rays (mostly misses).
+        b1 = rng.random(n, dtype=np.float32) * 0.8 + 0.1
+        b2 = (1 - b1) * (rng.random(n, dtype=np.float32) * 0.8 + 0.1)
+        target = v0 * (1 - b1 - b2)[:, None] + v1 * b1[:, None] + v2 * b2[:, None]
+        o = (rng.random((n, 3), dtype=np.float32) - 0.5) * 20
+        d = target - o
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+        t_mt, u_mt, v_mt, h_mt = ray_triangle(
+            jnp.asarray(o), jnp.asarray(d),
+            jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+        )
+        t_wt, u_wt, v_wt, h_wt = ray_triangle_watertight(
+            jnp.asarray(o), jnp.asarray(d),
+            jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+        )
+        h_mt = np.asarray(h_mt)
+        h_wt = np.asarray(h_wt)
+        # Away from edges the two tests agree exactly on hit/miss.
+        assert (h_mt == h_wt).mean() > 0.999
+        both = h_mt & h_wt
+        assert both.sum() > n // 2  # the aimed rays hit
+        np.testing.assert_allclose(
+            np.asarray(t_wt)[both], np.asarray(t_mt)[both], rtol=2e-3,
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(u_wt)[both], np.asarray(u_mt)[both], atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(v_wt)[both], np.asarray(v_mt)[both], atol=2e-3)
+
+    def test_no_cracks_on_shared_edge(self):
+        """Rays through points exactly on a quad's shared diagonal must
+        hit one of the two triangles — the watertight property."""
+        from tracerboy_tpu.trace.intersect import brute_force_closest
+
+        # Unit quad split along the diagonal (0,0)-(1,1), z = 0.
+        a = np.array([0, 0, 0], np.float32)
+        b = np.array([1, 0, 0], np.float32)
+        c = np.array([1, 1, 0], np.float32)
+        dd = np.array([0, 1, 0], np.float32)
+        v0 = np.stack([a, a])
+        v1 = np.stack([b, c])
+        v2 = np.stack([c, dd])
+
+        # Points on the diagonal, including awkward fractions; rays from
+        # a skewed origin so the shear axes differ per ray.
+        s = np.linspace(0.001, 0.999, 997, dtype=np.float32)
+        pts = np.stack([s, s, np.zeros_like(s)], axis=1)
+        o = np.array([[0.3, -0.2, 5.0]], np.float32) + np.array(
+            [[0.1, 0.05, 0.0]], np.float32
+        ) * s[:, None]
+        d = pts - o
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+        t, tri, _, _ = brute_force_closest(
+            jnp.asarray(o), jnp.asarray(d),
+            jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+            watertight=True,
+        )
+        misses = int((np.asarray(tri) < 0).sum())
+        assert misses == 0, f"{misses} cracks on the shared edge"
+
+    def test_shared_vertex_fan(self):
+        """Rays through the apex shared by a fan of triangles hit it."""
+        from tracerboy_tpu.trace.intersect import brute_force_closest
+
+        apex = np.array([0.5, 0.5, 0.0], np.float32)
+        k = 8
+        ang = np.linspace(0, 2 * np.pi, k + 1)
+        ring = np.stack(
+            [0.5 + np.cos(ang), 0.5 + np.sin(ang), np.zeros(k + 1)], axis=1
+        ).astype(np.float32)
+        v0 = np.broadcast_to(apex, (k, 3)).copy()
+        v1 = ring[:-1]
+        v2 = ring[1:]
+
+        o = np.tile(np.array([[1.7, -2.1, 7.0]], np.float32), (64, 1))
+        o += np.linspace(0, 0.3, 64, dtype=np.float32)[:, None] * np.array(
+            [[0.5, 1.0, 0.0]], np.float32
+        )
+        d = apex - o
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        t, tri, _, _ = brute_force_closest(
+            jnp.asarray(o), jnp.asarray(d),
+            jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+            watertight=True,
+        )
+        assert int((np.asarray(tri) < 0).sum()) == 0

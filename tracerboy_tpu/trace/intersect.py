@@ -51,6 +51,84 @@ def ray_triangle(orig, direc, v0, v1, v2, t_max=None):
     return jnp.where(hit, t, BIG), u, v, hit
 
 
+def ray_shear(direc):
+    """Watertight-test shear constants for a ray direction.
+
+    Reference: TraverseFunction.hlsli:469-489 (RayTriangleIntersect
+    precompute) — pick the dominant axis kz, cycle kx/ky (swapped when
+    d[kz] < 0 to preserve winding), and shear so the ray maps to +Z.
+    Returns (kx, ky, kz, sx, sy, sz) with k* int32 and s* float.
+    """
+    ax = jnp.abs(direc[..., 0])
+    ay = jnp.abs(direc[..., 1])
+    az = jnp.abs(direc[..., 2])
+    kz = jnp.where(
+        (az >= ax) & (az >= ay), 2, jnp.where(ay >= ax, 1, 0)
+    ).astype(jnp.int32)
+    kx = (kz + 1) % 3
+    ky = (kx + 1) % 3
+    dz = jnp.take_along_axis(direc, kz[..., None], axis=-1)[..., 0]
+    swap = dz < 0.0
+    kx, ky = jnp.where(swap, ky, kx), jnp.where(swap, kx, ky)
+    dx = jnp.take_along_axis(direc, kx[..., None], axis=-1)[..., 0]
+    dy = jnp.take_along_axis(direc, ky[..., None], axis=-1)[..., 0]
+    safe = jnp.where(dz == 0.0, jnp.float32(1e-30), dz)
+    return kx, ky, kz, dx / safe, dy / safe, 1.0 / safe
+
+
+def ray_triangle_watertight(orig, direc, v0, v1, v2, t_max=None):
+    """Watertight Woop/Benthin/Wald ray-triangle test, two-sided.
+
+    The reference's traversal uses this exact algorithm
+    (D3D12RaytracingFallback/src/TraverseFunction.hlsli:232-313): shear
+    the triangle into ray space and evaluate the three 2D edge functions
+    U, V, W. Adjacent triangles sharing an edge compute the same two
+    transformed vertices, so the shared edge function is exactly negated
+    between them — a ray crossing the edge is accepted by at least one
+    triangle and cracks cannot open (the watertight property Moller-
+    Trumbore lacks).
+
+    Same signature/return contract as ray_triangle. Barycentrics are
+    converted to the MT convention (u weights v1, v weights v2).
+    """
+    kx, ky, kz, sx, sy, sz = ray_shear(direc)
+
+    def shear(p):
+        rel = p - orig
+        px = jnp.take_along_axis(rel, kx[..., None], axis=-1)[..., 0]
+        py = jnp.take_along_axis(rel, ky[..., None], axis=-1)[..., 0]
+        pz = jnp.take_along_axis(rel, kz[..., None], axis=-1)[..., 0]
+        return px - sx * pz, py - sy * pz, pz
+
+    ax_, ay_, az_ = shear(jnp.broadcast_to(v0, jnp.broadcast_shapes(
+        v0.shape, orig.shape)))
+    bx_, by_, bz_ = shear(jnp.broadcast_to(v1, jnp.broadcast_shapes(
+        v1.shape, orig.shape)))
+    cx_, cy_, cz_ = shear(jnp.broadcast_to(v2, jnp.broadcast_shapes(
+        v2.shape, orig.shape)))
+
+    u = cx_ * by_ - cy_ * bx_
+    v = ax_ * cy_ - ay_ * cx_
+    w = bx_ * ay_ - by_ * ax_
+
+    det = u + v + w
+    same_sign = ((u >= 0.0) & (v >= 0.0) & (w >= 0.0)) | (
+        (u <= 0.0) & (v <= 0.0) & (w <= 0.0)
+    )
+    inv_det = jnp.where(det != 0.0, 1.0 / det, 0.0)
+    t = (u * az_ + v * bz_ + w * cz_) * sz * inv_det
+    hit = same_sign & (det != 0.0) & (t > 1e-5)
+    if t_max is not None:
+        hit = hit & (t < t_max)
+    # MT convention: u weights v1 (edge function V), v weights v2 (W).
+    return (
+        jnp.where(hit, t, BIG),
+        v * inv_det,
+        w * inv_det,
+        hit,
+    )
+
+
 def ray_aabb(orig, inv_dir, lo, hi, t_max):
     """Slab test. orig/inv_dir: (..., 3); lo/hi broadcastable.
 
@@ -66,14 +144,18 @@ def ray_aabb(orig, inv_dir, lo, hi, t_max):
     return t_near, hit
 
 
-def brute_force_closest(orig, direc, v0, v1, v2, t_max=None):
+def brute_force_closest(orig, direc, v0, v1, v2, t_max=None,
+                        watertight=False):
     """Closest hit over all triangles by exhaustive (N, T) broadcast.
 
     The ground-truth oracle for traversal tests. The production brute
     backend uses brute_force_closest_soa below (dense layouts); this
     broadcast form pads its minor dims on TPU and is test-only.
+    watertight=True swaps in the Woop/Benthin/Wald test (the reference's
+    traversal intersector) for edge-crack-free results.
     """
-    t, u, v, hit = ray_triangle(
+    tri_test = ray_triangle_watertight if watertight else ray_triangle
+    t, u, v, hit = tri_test(
         orig[:, None, :], direc[:, None, :], v0[None], v1[None], v2[None],
         t_max=None if t_max is None else t_max[:, None],
     )
