@@ -205,6 +205,20 @@ class Renderer:
                 | (np.asarray(self.compiled.materials["emissive_tex"]) >= 0).any()
                 | (np.asarray(self.compiled.materials["specular_tex"]) >= 0).any()
             ),
+            has_emissive_tex=bool(
+                (np.asarray(
+                    self.compiled.materials["emissive_tex"]) >= 0).any()
+            ),
+            has_specular_tex=bool(
+                (np.asarray(
+                    self.compiled.materials["specular_tex"]) >= 0).any()
+            ),
+            has_image_tex=bool(
+                (np.asarray(self.compiled.tex_records["ttype"]) == 0).any()
+            ),
+            has_scale_tex=bool(
+                (np.asarray(self.compiled.tex_records["ttype"]) == 2).any()
+            ),
             has_alpha=bool(
                 (np.asarray(self.compiled.materials["alpha_tex"]) >= 0).any()
             ),

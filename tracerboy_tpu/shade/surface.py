@@ -59,54 +59,99 @@ def _sample_image(tex_images, tex_sizes, image_idx, u, v):
     )
 
 
-def _eval_texture_flat(recs, tex_images, tex_sizes, tex_id, uv):
-    """Single-level texture evaluation (no scale-nesting)."""
-    rid = jnp.clip(tex_id, 0, recs["ttype"].shape[0] - 1)
-    ttype = recs["ttype"][rid]
-    flags = recs["flags"][rid]
-    u = uv[..., 0] * recs["uscale"][rid]
-    v = uv[..., 1] * recs["vscale"][rid]
-
-    img = _sample_image(tex_images, tex_sizes, recs["image_idx"][rid], u, v)
-    img = jnp.where(
-        (flags & GAMMA_FLAG)[..., None] != 0, gamma_to_linear(img), img
+def _rec_rows(recs):
+    """Fused (n_tex, 13) texture-record row table. One wide-row gather
+    per lookup replaces 9 per-plane gathers (gather cost on TPU is per
+    row, not per element). Columns: 0 ttype, 1 flags, 2 uscale,
+    3 vscale, 4 image_idx, 5 sub1, 6 sub2, 7:10 color1, 10:13 color2.
+    Scene-constant: XLA hoists the concat out of the bounce loop."""
+    f = jnp.float32
+    return jnp.concatenate(
+        [
+            recs["ttype"].astype(f)[:, None],
+            recs["flags"].astype(f)[:, None],
+            recs["uscale"][:, None],
+            recs["vscale"][:, None],
+            recs["image_idx"].astype(f)[:, None],
+            recs["sub1"].astype(f)[:, None],
+            recs["sub2"].astype(f)[:, None],
+            recs["color1"],
+            recs["color2"],
+        ],
+        axis=1,
     )
+
+
+def _eval_texture_row(row, tex_images, tex_sizes, uv, has_image=True):
+    """Single-level texture evaluation from a gathered (N, 13) rec row.
+
+    has_image=False (static scene fact: no TEX_IMAGE records) compiles
+    out the bilinear image fetch — 12 gathers per call on scenes that
+    only use procedural checker/scale/constant textures.
+    """
+    ttype = jnp.round(row[:, 0]).astype(jnp.int32)
+    u = uv[..., 0] * row[:, 2]
+    v = uv[..., 1] * row[:, 3]
+    color1 = row[:, 7:10]
+    color2 = row[:, 10:13]
 
     # Checker (SharedRaytracing.h checker branch): integer parity of
     # floor(u*uscale) + floor(v*vscale).
     parity = (
         jnp.floor(u).astype(jnp.int32) + jnp.floor(v).astype(jnp.int32)
     ) % 2
-    checker = jnp.where(
-        (parity == 0)[..., None], recs["color1"][rid], recs["color2"][rid]
-    )
+    checker = jnp.where((parity == 0)[..., None], color1, color2)
 
-    const = recs["color1"][rid]
-
-    out = jnp.where((ttype == TEX_IMAGE)[..., None], img, const)
+    out = color1
+    if has_image:
+        flags = jnp.round(row[:, 1]).astype(jnp.int32)
+        image_idx = jnp.round(row[:, 4]).astype(jnp.int32)
+        img = _sample_image(tex_images, tex_sizes, image_idx, u, v)
+        img = jnp.where(
+            (flags & GAMMA_FLAG)[..., None] != 0, gamma_to_linear(img), img
+        )
+        out = jnp.where((ttype == TEX_IMAGE)[..., None], img, out)
     out = jnp.where((ttype == TEX_CHECKER)[..., None], checker, out)
     return out
 
 
-def eval_texture(recs, tex_images, tex_sizes, tex_id, uv):
+def _eval_texture_flat(recs, tex_images, tex_sizes, tex_id, uv):
+    """Single-level texture evaluation (no scale-nesting)."""
+    rid = jnp.clip(tex_id, 0, recs["ttype"].shape[0] - 1)
+    return _eval_texture_row(_rec_rows(recs)[rid], tex_images, tex_sizes, uv)
+
+
+def eval_texture(recs, tex_images, tex_sizes, tex_id, uv,
+                 has_image=True, has_scale=True):
     """Texture evaluation with one level of scale-texture nesting
     (the reference allows exactly one recursion, SharedRaytracing.h:99-118).
-    tex_id: (N,) int32 (callers mask invalid ids)."""
-    rid = jnp.clip(tex_id, 0, recs["ttype"].shape[0] - 1)
-    ttype = recs["ttype"][rid]
-    base = _eval_texture_flat(recs, tex_images, tex_sizes, tex_id, uv)
+    tex_id: (N,) int32 (callers mask invalid ids). has_image/has_scale
+    are static scene facts gating the image fetch / nesting level."""
+    table = _rec_rows(recs)
+    n = table.shape[0]
+    rid = jnp.clip(tex_id, 0, n - 1)
+    row = table[rid]
+    base = _eval_texture_row(row, tex_images, tex_sizes, uv,
+                             has_image=has_image)
+    if not has_scale:
+        return base
+    ttype = jnp.round(row[:, 0]).astype(jnp.int32)
 
-    sub1 = recs["sub1"][rid]
-    sub2 = recs["sub2"][rid]
+    sub1 = jnp.round(row[:, 5]).astype(jnp.int32)
+    sub2 = jnp.round(row[:, 6]).astype(jnp.int32)
+    row1 = table[jnp.clip(sub1, 0, n - 1)]
+    row2 = table[jnp.clip(sub2, 0, n - 1)]
     t1 = jnp.where(
         (sub1 >= 0)[..., None],
-        _eval_texture_flat(recs, tex_images, tex_sizes, sub1, uv),
-        recs["color1"][rid],
+        _eval_texture_row(row1, tex_images, tex_sizes, uv,
+                          has_image=has_image),
+        row[:, 7:10],
     )
     t2 = jnp.where(
         (sub2 >= 0)[..., None],
-        _eval_texture_flat(recs, tex_images, tex_sizes, sub2, uv),
-        recs["color2"][rid],
+        _eval_texture_row(row2, tex_images, tex_sizes, uv,
+                          has_image=has_image),
+        row[:, 10:13],
     )
     scale = t1 * t2
     return jnp.where((ttype == TEX_SCALE)[..., None], scale, base)
@@ -158,6 +203,10 @@ def fetch_material_soa(
     seed=0,
     has_mix: bool = True,
     has_textures: bool = True,
+    has_emissive_tex: bool = True,
+    has_specular_tex: bool = True,
+    has_image_tex: bool = True,
+    has_scale_tex: bool = True,
 ):
     """SoA material fetch: V3 fields + (N,) scalars, dense layouts.
 
@@ -204,23 +253,29 @@ def fetch_material_soa(
         imgs = scene["tex_images"]
         sizes = scene["tex_sizes"]
         uv = jnp.stack([uv_u, uv_v], axis=-1)
-        alb_t = eval_texture(recs, imgs, sizes, albedo_tex, uv)
+        tex_kw = dict(has_image=has_image_tex, has_scale=has_scale_tex)
+        alb_t = eval_texture(recs, imgs, sizes, albedo_tex, uv, **tex_kw)
         albedo = v3.where(
             albedo_tex >= 0,
             v3.V3(alb_t[..., 0], alb_t[..., 1], alb_t[..., 2]), albedo,
         )
-        emi_t = eval_texture(recs, imgs, sizes, emissive_tex, uv)
-        emissive = v3.where(
-            (emissive_tex >= 0) & ~backside,
-            v3.V3(emi_t[..., 0], emi_t[..., 1], emi_t[..., 2]), emissive,
-        )
-        spec_data = eval_texture(recs, imgs, sizes, spec_tex, uv)
-        has_spec = spec_tex >= 0
-        roughness = jnp.where(has_spec, spec_data[..., 1], roughness)
-        flags = jnp.where(
-            has_spec & (spec_data[..., 2] > 0.5),
-            flags | METALLIC_FLAG, flags,
-        )
+        if has_emissive_tex:
+            emi_t = eval_texture(recs, imgs, sizes, emissive_tex, uv,
+                                 **tex_kw)
+            emissive = v3.where(
+                (emissive_tex >= 0) & ~backside,
+                v3.V3(emi_t[..., 0], emi_t[..., 1], emi_t[..., 2]),
+                emissive,
+            )
+        if has_specular_tex:
+            spec_data = eval_texture(recs, imgs, sizes, spec_tex, uv,
+                                     **tex_kw)
+            has_spec = spec_tex >= 0
+            roughness = jnp.where(has_spec, spec_data[..., 1], roughness)
+            flags = jnp.where(
+                has_spec & (spec_data[..., 2] > 0.5),
+                flags | METALLIC_FLAG, flags,
+            )
 
     is_sss = (flags & SUBSURFACE_SCATTER_FLAG) != 0
     has_albedo = (albedo.x > 0) | (albedo.y > 0) | (albedo.z > 0)

@@ -86,7 +86,13 @@ def _coherence_sort(origin, direction, world_lo, world_hi, t_max=None):
 
 def _pallas_sorted(scene, origin, direction, t_max, shadow: bool,
                    compact: bool = True):
-    """Common packet prep: coherence sort, pad, pick the packed BVH."""
+    """Common packet prep: coherence sort, pad, pick the packed BVH.
+
+    The sort CARRIES the ray planes through jax.lax.sort instead of
+    argsort + gathers: payload-carrying sort networks move data with
+    their keys, while every post-hoc gather pays TPU's per-row gather
+    cost (measured 8.7x: 0.52 ms vs 4.55 ms per 230k-ray prep).
+    """
     from tracerboy_tpu.trace.pallas_traverse2 import (
         PACKET,
         PACKETS_PER_BLOCK,
@@ -97,18 +103,24 @@ def _pallas_sorted(scene, origin, direction, t_max, shadow: bool,
         origin, direction, scene["world_lo"], scene["world_hi"],
         t_max=t_max if compact else None,
     )
-    perm = jnp.argsort(key)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    (_, sox, soy, soz, sdx, sdy, sdz, tmax_s, sidx) = jax.lax.sort(
+        (key, origin[:, 0], origin[:, 1], origin[:, 2],
+         direction[:, 0], direction[:, 1], direction[:, 2], t_max, idx),
+        num_keys=1,
+    )
     pad = (-N) % (PACKET * PACKETS_PER_BLOCK)
     if pad:
-        perm_p = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)])
-        tmax_p = jnp.concatenate(
-            [t_max[perm], jnp.zeros((pad,), t_max.dtype)]
-        )
-    else:
-        perm_p = perm
-        tmax_p = t_max[perm]
-    o_s = origin[perm_p]
-    d_s = direction[perm_p]
+        zf = jnp.zeros((pad,), jnp.float32)
+        sox = jnp.concatenate([sox, zf])
+        soy = jnp.concatenate([soy, zf])
+        soz = jnp.concatenate([soz, zf])
+        sdx = jnp.concatenate([sdx, zf + 1.0])
+        sdy = jnp.concatenate([sdy, zf])
+        sdz = jnp.concatenate([sdz, zf])
+        tmax_s = jnp.concatenate([tmax_s, zf])  # dead padding rays
+    o_s = jnp.stack([sox, soy, soz], axis=1)
+    d_s = jnp.stack([sdx, sdy, sdz], axis=1)
 
     prefix = "pk_sh_" if shadow else "pk_"
     packed = dict(nodes=scene[prefix + "nodes"], tris=scene[prefix + "tris"])
@@ -116,10 +128,7 @@ def _pallas_sorted(scene, origin, direction, t_max, shadow: bool,
     # enqueue time, waited at drain) when the cluster table would not
     # leave VMEM room for the rays + node table.
     tris_in_hbm = packed["tris"].shape[0] * 512 > 8 * 2**20
-    inv = jnp.zeros((N,), jnp.int32).at[perm].set(
-        jnp.arange(N, dtype=jnp.int32)
-    )
-    return o_s, d_s, tmax_p, packed, tris_in_hbm, inv, prefix
+    return o_s, d_s, tmax_s, packed, tris_in_hbm, sidx, prefix
 
 
 def _pallas_closest(scene, origin, direction, t_max, shadow: bool,
@@ -127,29 +136,38 @@ def _pallas_closest(scene, origin, direction, t_max, shadow: bool,
     """Packet traversal (v2 kernel) with coherence sorting + padding."""
     from tracerboy_tpu.trace.pallas_traverse2 import traverse_packets2
 
-    o_s, d_s, tmax_p, packed, tris_in_hbm, inv, prefix = _pallas_sorted(
+    o_s, d_s, tmax_p, packed, tris_in_hbm, sidx, prefix = _pallas_sorted(
         scene, origin, direction, t_max, shadow, compact=compact
     )
+    N = sidx.shape[0]
     t, tri, u, v = traverse_packets2(
         o_s, d_s, tmax_p, packed, tris_in_hbm=tris_in_hbm
     )
     # Packed tri ids -> scene tri order.
     tri_map = scene[prefix + "tri_map"]
     tri = jnp.where(tri >= 0, tri_map[jnp.clip(tri, 0, None)], -1)
-    return t[inv], tri[inv], u[inv], v[inv]
+    # Unsort by carrying the outputs through a sort on the saved index.
+    _, t, tri, u, v = jax.lax.sort(
+        (sidx, t[:N], tri[:N], u[:N], v[:N]), num_keys=1
+    )
+    return t, tri, u, v
 
 
 def _pallas_anyhit(scene, origin, direction, t_max, compact: bool = True):
     """Occlusion-only packet traversal over the shadow BVH (v2 kernel)."""
     from tracerboy_tpu.trace.pallas_traverse2 import anyhit_packets2
 
-    o_s, d_s, tmax_p, packed, tris_in_hbm, inv, _ = _pallas_sorted(
+    o_s, d_s, tmax_p, packed, tris_in_hbm, sidx, _ = _pallas_sorted(
         scene, origin, direction, t_max, shadow=True, compact=compact
     )
+    N = sidx.shape[0]
     occ = anyhit_packets2(
         o_s, d_s, tmax_p, packed, tris_in_hbm=tris_in_hbm
     )
-    return occ[inv]
+    _, occ = jax.lax.sort(
+        (sidx, occ[:N].astype(jnp.int32)), num_keys=1
+    )
+    return occ > 0
 
 
 ALPHA_CUTOFF = 0.9  # SharedHitGroup.h:163
@@ -164,10 +182,11 @@ def _alpha_at_hit(scene, tri, u, v):
     """
     from tracerboy_tpu.shade.surface import eval_texture
 
-    tbl = scene["tri_attr_t"]
-    T = tbl.shape[1]
+    tbl = scene["tri_attr_rows"]
+    T = tbl.shape[0]
     tric = jnp.clip(tri, 0, T - 1)
-    rows = [tbl[j][tric] for j in (9, 10, 11, 12, 13, 14, 15)]
+    r = tbl[tric]                                # one wide-row gather
+    rows = [r[:, j] for j in (9, 10, 11, 12, 13, 14, 15)]
     w_b = 1.0 - u - v
     uv_u = rows[0] * w_b + rows[2] * u + rows[4] * v
     uv_v = rows[1] * w_b + rows[3] * u + rows[5] * v
@@ -320,6 +339,12 @@ class WaveConfig:
     # skip those fetch paths entirely.
     has_mix: bool = True
     has_textures: bool = True
+    # Finer texture facts: each gathers-heavy texture path compiles only
+    # if some material in the scene can reach it.
+    has_emissive_tex: bool = True
+    has_specular_tex: bool = True
+    has_image_tex: bool = True     # any TEX_IMAGE record (bilinear fetch)
+    has_scale_tex: bool = True     # any TEX_SCALE record (nesting level)
     # Alpha-tested transparency (cutout materials): rejected hits re-fire
     # the wave from just past the hit, up to alpha_rounds times
     # (SharedHitGroup.h:157-179 / AnyHit.hlsl as a wavefront re-trace).
@@ -475,15 +500,18 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
     use_onehot_attrs = T_padded <= 256
 
     def tri_attrs(tric):
-        """Per-hit triangle attributes from the fused (19, Tp) table
-        (normals, uvs, material id, tangent)."""
-        tbl = scene["tri_attr_t"]
+        """Per-hit triangle attributes (normals, uvs, material id,
+        tangent). Small scenes use the one-hot MXU lookup; large scenes
+        do ONE wide-row gather from the (Tp, 19) row table — gather cost
+        on TPU is per row, not per element, so one 19-float row costs
+        ~1/19 of 19 per-plane gathers (measured 57x; ARCHITECTURE.md)."""
         if use_onehot_attrs:
             from tracerboy_tpu.shade.surface import _take_cols
 
-            return _take_cols(tbl, tric)
+            return _take_cols(scene["tri_attr_t"], tric)
         n_rows = 19 if cfg.has_normal_maps else 16
-        return jnp.stack([tbl[j][tric] for j in range(n_rows)], axis=0)
+        rows = scene["tri_attr_rows"][tric]          # (N, 19)
+        return tuple(rows[:, j] for j in range(n_rows))
 
     state = dict(
         origin=origin,
@@ -545,11 +573,21 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
 
         # --- miss: environment (kernel.glsl:1327-1343) ------------------
         if cfg.has_env:
-            env = sample_environment_soa(
-                s["direction"], scene["env_r"], scene["env_g"],
-                scene["env_b"], env_h, env_w,
-                scene["env_transform"], scene["env_color_scale"],
-            )
+            if "env_quad" in scene:
+                from tracerboy_tpu.shade.env import (
+                    sample_environment_quad_soa,
+                )
+
+                env = sample_environment_quad_soa(
+                    s["direction"], scene["env_quad"], env_h, env_w,
+                    scene["env_transform"], scene["env_color_scale"],
+                )
+            else:
+                env = sample_environment_soa(
+                    s["direction"], scene["env_r"], scene["env_g"],
+                    scene["env_b"], env_h, env_w,
+                    scene["env_transform"], scene["env_color_scale"],
+                )
         else:
             env = vzero3
         s["radiance"] = v3.where(
@@ -581,6 +619,10 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         mat = fetch_material_soa(
             scene, mat_id, uv_u, uv_v, backside, lane, sample_index, i,
             seed, has_mix=cfg.has_mix, has_textures=cfg.has_textures,
+            has_emissive_tex=cfg.has_emissive_tex,
+            has_specular_tex=cfg.has_specular_tex,
+            has_image_tex=cfg.has_image_tex,
+            has_scale_tex=cfg.has_scale_tex,
         )
         flags = mat["flags"]
         normal = v3.where(backside, -sh_normal, sh_normal)
