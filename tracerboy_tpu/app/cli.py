@@ -50,8 +50,10 @@ def build_parser():
                    choices=["albedo", "normal", "depth", "luminance"],
                    help="write this AOV instead of the lit image")
     p.add_argument("--denoiser", default="none",
-                   choices=["none", "oidn", "oidn-ldr"],
-                   help="ML denoise the final image")
+                   choices=["none", "oidn", "oidn-ldr", "oidn-alb-nrm"],
+                   help="ML denoise the final image. oidn = color-only "
+                        "rt_ldr (the reference default, OpenImageDenoise"
+                        ".h:219); oidn-alb-nrm = albedo+normal-guided")
     p.add_argument("--upscale", default=None, choices=["fsr", "superres"],
                    help="2x upscale the output")
     p.add_argument("--hdr-out", default=None,
@@ -195,19 +197,23 @@ def main(argv=None):
     if args.denoiser.startswith("oidn"):
         from tracerboy_tpu.ml.oidn import load_oidn, denoise_image
 
-        tza = ("/root/reference/TracerBoy/ML/rt_ldr.tza"
-               if args.denoiser == "oidn-ldr"
-               else "/root/reference/TracerBoy/ML/rt_ldr_alb_nrm.tza")
+        aux = args.denoiser == "oidn-alb-nrm"
+        tza = ("/root/reference/TracerBoy/ML/rt_ldr_alb_nrm.tza" if aux
+               else "/root/reference/TracerBoy/ML/rt_ldr.tza")
         model, variables = load_oidn(tza)
-        aovs = r._last_aovs
         h, w = r.height, r.width
-        img = np.asarray(
-            denoise_image(
-                model, variables, jnp.asarray(img),
-                jnp.asarray(aovs["albedo"].reshape(h, w, 3)),
-                jnp.asarray(aovs["normal"].reshape(h, w, 3)),
+        if aux:
+            aovs = r._last_aovs
+            img = np.asarray(
+                denoise_image(
+                    model, variables, jnp.asarray(img),
+                    jnp.asarray(aovs["albedo"].reshape(h, w, 3)),
+                    jnp.asarray(aovs["normal"].reshape(h, w, 3)),
+                )
             )
-        )
+        else:
+            img = np.asarray(denoise_image(model, variables,
+                                           jnp.asarray(img)))
         log("denoised (OIDN UNet)")
 
     if args.upscale == "fsr":

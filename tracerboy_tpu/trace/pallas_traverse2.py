@@ -468,6 +468,11 @@ def traverse_packets2(orig, direc, t_max, packed, interpret: bool = False,
         _make_kernel(any_hit=False, tris_in_hbm=tris_in_hbm, stats=stats,
                      order=order, pops_per_iter=pops_per_iter),
         grid_spec=grid_spec,
+        # Large node tables (vw-van: 21 MB) exceed the default 16 MB
+        # scoped-vmem budget; raise it (v5e VMEM is 128 MB).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20
+        ),
         out_shape=(
             [jax.ShapeDtypeStruct((n_packets, SUB, LANES), jnp.float32)]
             * int(stats)
@@ -548,6 +553,9 @@ def anyhit_packets2(orig, direc, t_max, packed, interpret: bool = False,
         _make_kernel(any_hit=True, tris_in_hbm=tris_in_hbm,
                      pops_per_iter=pops_per_iter),
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((n_packets, SUB, LANES), jnp.float32),
         ],
