@@ -39,7 +39,15 @@ def luminance_histogram(color: jnp.ndarray, bins: int = HISTOGRAM_BINS,
     t = (log_luma + lum_range / 2.0) / lum_range
     idx = jnp.clip((t * (bins - 2)).astype(jnp.int32) + 1, 1, bins - 1)
     idx = jnp.where(luma < 1e-8, 0, idx)
-    return jnp.zeros((bins,), jnp.int32).at[idx.reshape(-1)].add(1)
+    # Histogram by sort + bin-edge search: a scatter-add of H*W indices
+    # runs at TPU's per-row scatter rate (~12 M/s — tens of ms per
+    # frame); sorting the indices and diffing searchsorted bin edges is
+    # sub-millisecond and exact.
+    sorted_idx = jnp.sort(idx.reshape(-1))
+    edges = jnp.searchsorted(
+        sorted_idx, jnp.arange(bins + 1, dtype=jnp.int32)
+    )
+    return (edges[1:] - edges[:-1]).astype(jnp.int32)
 
 
 def average_luminance(hist: jnp.ndarray, lum_range: float = 12.0) -> jnp.ndarray:

@@ -232,6 +232,12 @@ class Renderer:
 
     def frame_params(self, fixed_offset=None) -> dict:
         s = self.settings
+        # Cache the device scalars: rebuilding them every frame costs
+        # ~2 ms of eager device_put round trips on a remote attachment.
+        cache = getattr(self, "_fp_cache", None)
+        if (cache is not None and cache[0] is s and cache[1] == self.seed
+                and fixed_offset is None):
+            return dict(cache[2])
         p = dict(
             dof_focus=jnp.float32(s.camera_settings.dof_focus_distance),
             dof_aperture=jnp.float32(s.camera_settings.dof_aperture_width),
@@ -252,6 +258,8 @@ class Renderer:
             p["bn"] = self._bn_cache
         if fixed_offset is not None:
             p["fixed_pixel_offset"] = jnp.asarray(fixed_offset, jnp.float32)
+        else:
+            self._fp_cache = (s, self.seed, dict(p))
         return p
 
     # -- adaptive sampling (VarianceUtil.h ShouldSkipRay) -----------------
@@ -389,6 +397,11 @@ class Renderer:
             def step(scene, params, pixel_ids, sample_index, history,
                      cam_prev_, threshold, cfg, den, tonemap_type, gamma,
                      auto_exp, first, adaptive):
+                # Per-frame Halton jitter computed in-program: an eager
+                # halton23 call costs ~33 ms of per-op dispatch round
+                # trips over the remote attachment.
+                params = dict(params, fixed_pixel_offset=halton23(
+                    sample_index))
                 if adaptive and not first:
                     active = adaptive_active_mask(
                         history["moments"], threshold, 0.0, sample_index
@@ -457,10 +470,11 @@ class Renderer:
         self._rt_last_time = now
         threshold = jnp.float32(perf.min_convergence + self._governor.pad)
 
-        offset = halton23(jnp.int32(frame))
+        if not hasattr(self, "_rt_pixel_ids"):
+            self._rt_pixel_ids = jnp.arange(w * h, dtype=jnp.int32)
         img, self._rt_hist_fused, live = step(
-            self.scene_pytree, self.frame_params(fixed_offset=offset),
-            jnp.arange(w * h, dtype=jnp.int32), jnp.int32(frame),
+            self.scene_pytree, self.frame_params(),
+            self._rt_pixel_ids, jnp.int32(frame),
             self._rt_hist_fused, cam_prev, threshold, cfg,
             s.denoiser_settings, int(s.post_settings.tonemap_type),
             s.post_settings.enable_gamma_correction,
