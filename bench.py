@@ -156,6 +156,11 @@ def bench_time_to_psnr(results, scene_key, film, golden_path,
     from tracerboy_tpu.renderer import Renderer
 
     r = Renderer(SCENES[scene_key], film_size=film)
+    # Warm the jitted batch step so the measured time is rendering, not
+    # XLA compilation (the reference's analog — PSO compiles — happens
+    # at scene load, outside its frame loop too).
+    r.render_sample(batch)
+    r.invalidate_history()
     t0 = time.time()
     spp = 0
     psnr = 0.0

@@ -125,9 +125,13 @@ def _pallas_sorted(scene, origin, direction, t_max, shadow: bool,
     prefix = "pk_sh_" if shadow else "pk_"
     packed = dict(nodes=scene[prefix + "nodes"], tris=scene[prefix + "tris"])
     # Static scene fact: stream leaf clusters from HBM (DMA started at
-    # enqueue time, waited at drain) when the cluster table would not
-    # leave VMEM room for the rays + node table.
-    tris_in_hbm = packed["tris"].shape[0] * 512 > 8 * 2**20
+    # enqueue time, waited at drain) only when nodes + clusters would
+    # not fit the kernel's 100 MB scoped-VMEM budget (with ~12 MB of
+    # headroom for ray blocks + scratch). Measured on vw-van (89 MB of
+    # tables): VMEM-resident beats the DMA ring by 12-38%.
+    table_bytes = (packed["tris"].shape[0]
+                   + packed["nodes"].shape[0]) * 512
+    tris_in_hbm = table_bytes > 88 * 2**20
     return o_s, d_s, tmax_s, packed, tris_in_hbm, sidx, prefix
 
 
