@@ -35,6 +35,20 @@ class TestExposure:
         avg = pipeline.average_luminance(hist)
         assert float(avg) == pytest.approx(1.0, rel=0.15)
 
+    def test_histogram_matches_bincount(self):
+        """The sort+searchsorted histogram equals a direct bincount of
+        the bin indices (the scatter-add formulation it replaced)."""
+        rng = np.random.default_rng(5)
+        img = jnp.asarray(rng.random((24, 24, 3)).astype(np.float32) * 4.0)
+        hist = np.asarray(pipeline.luminance_histogram(img))
+        luma = 0.2126 * img[..., 0] + 0.7152 * img[..., 1] + 0.0722 * img[..., 2]
+        log_luma = np.log2(np.maximum(np.asarray(luma), 1e-12))
+        t = (log_luma + 6.0) / 12.0
+        idx = np.clip((t * 254).astype(np.int32) + 1, 1, 255)
+        idx = np.where(np.asarray(luma) < 1e-8, 0, idx)
+        ref = np.bincount(idx.reshape(-1), minlength=256)
+        np.testing.assert_array_equal(hist, ref)
+
     def test_resolve_divides_by_weight(self):
         accum = jnp.concatenate(
             [jnp.full((4, 4, 3), 8.0), jnp.full((4, 4, 1), 4.0)], axis=-1
