@@ -56,6 +56,10 @@ def build_parser():
                         ".h:219); oidn-alb-nrm = albedo+normal-guided")
     p.add_argument("--upscale", default=None, choices=["fsr", "superres"],
                    help="2x upscale the output")
+    p.add_argument("--volume", default=None,
+                   help="attach a heterogeneous medium: .vol (Mitsuba "
+                        "grid), .npy density, or 'cloud' (procedural "
+                        "test cloud)")
     p.add_argument("--hdr-out", default=None,
                    help="also write linear radiance (.exr/.hdr/.pfm)")
     p.add_argument("--capture-every", type=int, default=0, metavar="N",
@@ -144,7 +148,14 @@ def main(argv=None):
     )
 
     log(f"loading {args.scene} ...")
-    r = Renderer(args.scene, settings=s, film_size=film, seed=args.seed)
+    vol = None
+    if args.volume:
+        from tracerboy_tpu.scene import volume as vmod
+
+        vol = (vmod.procedural_cloud() if args.volume == "cloud"
+               else vmod.load_volume(args.volume))
+    r = Renderer(args.scene, settings=s, film_size=film, seed=args.seed,
+                 volume=vol)
     log(f"scene ready: {r.compiled.num_tris} tris, "
         f"{r.compiled.num_lights} lights, {r.width}x{r.height}, "
         f"{len(r.compiled.materials['flags'])} materials")

@@ -30,6 +30,9 @@ STREAM_RIS = 11                # 2*16 dims reserved for reservoir sampling
 STREAM_SSS = 48                # scattering walk (uses 48-49)
 STREAM_MIX = 50                # mix-material resolution coin
 STREAM_ROUGH_REFRACT = 51      # pow-lobe rough refraction sample
+STREAM_VOLUME = 52             # delta-tracking walk (52..55: distance,
+                               # acceptance, phase u/v)
+STREAM_VOLUME_SHADOW = 56      # ratio-marching jitter for NEE
 STREAM_ACCUM_JITTER = 64       # jittered-accumulator coin flip
 NUM_STREAMS = 80
 

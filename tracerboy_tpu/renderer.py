@@ -60,10 +60,21 @@ class Renderer:
         settings: OutputSettings | None = None,
         film_size: tuple | None = None,
         seed: int = 0,
+        volume=None,
     ):
         if isinstance(scene, str):
             scene = load_scene(scene, film_size=film_size)
         assert isinstance(scene, CompiledScene)
+        if volume is not None:
+            # Attach/override the heterogeneous medium (a VolumeIR —
+            # e.g. from scene.volume.load_volume or procedural_cloud).
+            import dataclasses as _dc
+
+            scene = _dc.replace(
+                scene, vol_density=volume.density, vol_lo=volume.lo,
+                vol_hi=volume.hi, vol_sigma_a=volume.sigma_a,
+                vol_sigma_s=volume.sigma_s, vol_g=volume.g,
+            )
         self.compiled = scene
         self.seed = int(seed)
         self.settings = settings or default_output_settings()
@@ -227,6 +238,7 @@ class Renderer:
                 and (np.asarray(
                     self.compiled.materials["normal_tex"]) >= 0).any()
             ),
+            has_volume=self.compiled.has_volume,
             traversal=self.traversal,
         )
 

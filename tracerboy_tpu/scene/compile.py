@@ -86,6 +86,19 @@ class CompiledScene:
     # blue noise
     blue_noise0: np.ndarray      # (256, 256, 4) in [0,1)
     blue_noise1: np.ndarray
+    # heterogeneous volume (reference TracerBoy.cpp:1096-1184: one
+    # density grid + world bounds; the shading that the reference never
+    # wired up lives in trace/wavefront.py as a delta-tracking medium)
+    vol_density: np.ndarray = None   # (D, H, W) float32; None = no volume
+    vol_lo: np.ndarray = None        # (3,)
+    vol_hi: np.ndarray = None
+    vol_sigma_a: np.ndarray = None   # (3,)
+    vol_sigma_s: np.ndarray = None   # (3,)
+    vol_g: float = 0.0
+
+    @property
+    def has_volume(self) -> bool:
+        return self.vol_density is not None
 
     def as_pytree(self, pack_pallas: bool = False) -> dict:
         """Device-ready dict pytree (jnp arrays) for the render step.
@@ -158,8 +171,31 @@ class CompiledScene:
             axis=2,
         ).reshape(-1, 12)
 
+        volume = {}
+        if self.has_volume:
+            dd = self.vol_density
+            sig_t = self.vol_sigma_a + self.vol_sigma_s
+            volume = dict(
+                vol_density=j(dd.reshape(-1)),
+                vol_dims=j(np.array(dd.shape, np.int32)),
+                vol_lo=j(self.vol_lo), vol_hi=j(self.vol_hi),
+                vol_sigma_a=j(self.vol_sigma_a),
+                vol_sigma_s=j(self.vol_sigma_s),
+                vol_g=j(np.float32(self.vol_g)),
+                # Delta-tracking majorant: max density x largest channel
+                # extinction, padded 10% above the true bound so the
+                # null-collision branch keeps nonzero probability
+                # everywhere — required for unbiased SPECTRAL weights
+                # when density*sigma_t_max touches the majorant (Kutz et
+                # al. 2017 bounded majorant).
+                vol_majorant=j(np.float32(
+                    max(float(dd.max()) * float(sig_t.max()), 1e-8)
+                    * 1.1)),
+            )
+
         return dict(
             **extra,
+            **volume,
             tri9=j(tri9),
             tri_attr_t=j(tri_attr_t),
             tri_attr_rows=j(np.ascontiguousarray(tri_attr_t.T)),
@@ -479,6 +515,17 @@ def compile_scene(
         sampler_spp=scene.sampler.pixel_samples,
         max_depth=scene.integrator.max_depth,
         blue_noise0=blue0, blue_noise1=blue1,
+        **(
+            dict(
+                vol_density=scene.volume.density,
+                vol_lo=scene.volume.lo, vol_hi=scene.volume.hi,
+                vol_sigma_a=scene.volume.sigma_a,
+                vol_sigma_s=scene.volume.sigma_s,
+                vol_g=scene.volume.g,
+            )
+            if getattr(scene, "volume", None) is not None
+            else {}
+        ),
     )
 
 
@@ -525,6 +572,13 @@ def save_compiled(path: str, cs: CompiledScene) -> None:
             flat[prefix + k] = v
     for name in _SCALAR_FIELDS:
         flat["scalar." + name] = np.asarray(getattr(cs, name))
+    if cs.has_volume:
+        flat["vol.density"] = cs.vol_density
+        flat["vol.lo"] = cs.vol_lo
+        flat["vol.hi"] = cs.vol_hi
+        flat["vol.sigma_a"] = cs.vol_sigma_a
+        flat["vol.sigma_s"] = cs.vol_sigma_s
+        flat["vol.g"] = np.asarray(cs.vol_g)
     cam = cs.camera
     flat["cam.position"] = cam.position
     flat["cam.look_at"] = cam.look_at
@@ -562,6 +616,14 @@ def load_compiled(path: str) -> CompiledScene:
         sampler_spp=int(scal["sampler_spp"]),
         max_depth=int(scal["max_depth"]),
         blue_noise0=z["blue_noise0"], blue_noise1=z["blue_noise1"],
+        vol_density=z["vol.density"] if "vol.density" in z.files else None,
+        vol_lo=z["vol.lo"] if "vol.lo" in z.files else None,
+        vol_hi=z["vol.hi"] if "vol.hi" in z.files else None,
+        vol_sigma_a=(z["vol.sigma_a"] if "vol.sigma_a" in z.files
+                     else None),
+        vol_sigma_s=(z["vol.sigma_s"] if "vol.sigma_s" in z.files
+                     else None),
+        vol_g=float(z["vol.g"]) if "vol.g" in z.files else 0.0,
     )
 
 

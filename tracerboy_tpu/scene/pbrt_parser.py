@@ -418,7 +418,19 @@ def parse_pbrt(path: str) -> SceneIR:
             _make_light(ltype, params, state, scene)
         elif tok == "ReverseOrientation":
             state.reverse_orientation = not state.reverse_orientation
-        elif tok in ("MediumInterface", "MakeNamedMedium", "CoordinateSystem",
+        elif tok == "MakeNamedMedium":
+            # pbrt-v3 grid medium -> the scene's single heterogeneous
+            # volume (the reference's one-volume model; first one wins).
+            ts.next()  # medium name
+            params = _parse_params(ts)
+            mtype = params.get("type")
+            mtype = (mtype[0] if isinstance(mtype, list) and mtype
+                     else mtype) or ""
+            if scene.volume is None and "heterogeneous" in str(mtype):
+                from tracerboy_tpu.scene.volume import from_pbrt_medium
+
+                scene.volume = from_pbrt_medium(params)
+        elif tok in ("MediumInterface", "CoordinateSystem",
                      "CoordSysTransform", "ActiveTransform", "TransformTimes",
                      "Accelerator"):
             _parse_params(ts)  # consume and ignore

@@ -181,6 +181,10 @@ class SceneIR:
     objects: dict = field(default_factory=dict)     # name -> ObjectIR
     instances: list = field(default_factory=list)   # InstanceIR
     lights: list = field(default_factory=list)      # non-area lights
+    # One optional heterogeneous medium (the reference's single-volume
+    # model, TracerBoy.cpp:1096-1184 / TracerBoy.h:733): a VolumeIR
+    # from MakeNamedMedium "heterogeneous" or an external grid file.
+    volume: object = None
 
     def triangle_count(self) -> int:
         n = 0

@@ -356,6 +356,14 @@ class WaveConfig:
     alpha_rounds: int = 3
     # Normal mapping (GetDetailNormal, RayGenCommon.h:273-295).
     has_normal_maps: bool = False
+    # Heterogeneous volume (scene-level density grid; the reference's
+    # openvdb path, TracerBoy.cpp:1096-1184, plus the shading it lacks).
+    has_volume: bool = False
+    volume_steps: int = 64          # delta-tracking iteration cap (the
+                                    # while_loop exits when all lanes
+                                    # finish; this only bounds the RNG
+                                    # stream space)
+    volume_shadow_steps: int = 8    # ratio-marching samples per NEE ray
     # Packet-world ray compaction: sort dead lanes into all-dead packets
     # (PerformanceSettings.enable_ray_compaction; A/B in bench_traverse).
     compact_dead_rays: bool = True
@@ -572,8 +580,42 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         t, tri, u, v, trav_cost = _closest_dispatch(
             scene, s["origin"], s["direction"], t_max, cfg
         )
-        hit = alive & (tri >= 0)
-        miss = alive & (tri < 0)
+
+        # --- heterogeneous volume: delta-tracked medium interaction -----
+        # (the reference loads the grid, TracerBoy.cpp:1096-1184, but
+        # never shades it; shade/volumetric.py supplies the walk). A
+        # real collision preempts both the surface hit and the env miss.
+        if cfg.has_volume:
+            from tracerboy_tpu.shade.volumetric import (
+                delta_track,
+                sample_hg,
+            )
+
+            def vrng2(k):
+                ub = (i << 7) + k  # cap 128 walk iters per bounce
+                return (
+                    tbrng.uniform(lane, sample_index, ub,
+                                  tbrng.STREAM_VOLUME, seed),
+                    tbrng.uniform(lane, sample_index, ub,
+                                  tbrng.STREAM_VOLUME + 1, seed),
+                )
+
+            t_seg = jnp.where(tri >= 0, t, jnp.float32(BIG))
+            vol_scatter, t_vsc, vol_w = delta_track(
+                scene, s["origin"], s["direction"], t_seg,
+                alive & ~s["inside"], vrng2, cfg.volume_steps,
+            )
+            s["throughput"] = s["throughput"] * vol_w
+            vol_point = s["origin"] + s["direction"] * t_vsc
+            vh_u, vh_v = hash2(i, tbrng.STREAM_VOLUME + 2)
+            vol_dir = sample_hg(
+                s["direction"], scene["vol_g"], vh_u, vh_v
+            )
+        else:
+            vol_scatter = alive & False
+
+        hit = alive & (tri >= 0) & ~vol_scatter
+        miss = alive & (tri < 0) & ~vol_scatter
 
         # --- miss: environment (kernel.glsl:1327-1343) ------------------
         if cfg.has_env:
@@ -697,6 +739,8 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
 
         # ===== surface shading =========================================
         shading = alive & ~s["inside"]
+        if cfg.has_volume:
+            shading = shading & ~vol_scatter
         is_light = (flags & LIGHT_FLAG) != 0
         allows_spec = (flags & NO_SPECULAR_FLAG) == 0
         is_metal = ((flags & METALLIC_FLAG) != 0) | ((flags & HAIR_FLAG) != 0)
@@ -754,8 +798,11 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
 
         # --- NEE (kernel.glsl:1435-1517) --------------------------------
         if cfg.enable_nee and cfg.num_lights > 0:
+            nee_org = hit_point
+            if cfg.has_volume:
+                nee_org = v3.where(vol_scatter, vol_point, nee_org)
             ls = sample_one_light_soa(
-                scene["lights"], cfg.num_lights, hit_point, lane,
+                scene["lights"], cfg.num_lights, nee_org, lane,
                 sample_index, i, use_ris=cfg.enable_ris, seed=seed,
             )
             facing = v3.dot(ls["direction"], ls["normal"]) < 0.0
@@ -763,22 +810,59 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
                 shading & ~perfect_spec & ~is_light
                 & (ls["pdf"] > EPSILON) & facing
             )
+            if cfg.has_volume:
+                # Volume scatter vertices also draw a light sample,
+                # weighted by the HG phase instead of a BRDF.
+                do_nee = do_nee | (
+                    vol_scatter & (ls["pdf"] > EPSILON) & facing
+                )
             s["rays_traced"] = s["rays_traced"] + jnp.sum(
                 do_nee.astype(jnp.float32)
             )
             sh_org = hit_point + normal * EPSILON
+            if cfg.has_volume:
+                sh_org = v3.where(vol_scatter, vol_point, sh_org)
             sh_tmax = jnp.where(do_nee, ls["distance"] * (1.0 - 1e-3), 0.0)
             occluded = _occluded_dispatch(
                 scene, sh_org, ls["direction"], sh_tmax, cfg
             )
+            surf_w = diffuse_brdf_soa(ls["direction"], detail_normal)
+            if cfg.has_volume:
+                # Henyey-Greenstein phase value at the volume vertex.
+                g = scene["vol_g"]
+                cos_lv = v3.dot(s["direction"], ls["direction"])
+                denom_hg = jnp.power(
+                    jnp.maximum(1.0 + g * g - 2.0 * g * cos_lv, 1e-6), 1.5
+                )
+                phase_val = (1.0 - g * g) / (4.0 * jnp.pi * denom_hg)
+                surf_w = jnp.where(vol_scatter, phase_val, surf_w)
             light_mult = (
                 ls["attenuation"]
-                * diffuse_brdf_soa(ls["direction"], detail_normal)
+                * surf_w
                 * jnp.abs(v3.dot(ls["normal"], ls["direction"]))
                 / jnp.maximum(ls["pdf"], 1e-12)
             )
             add = do_nee & ~occluded
-            contrib = s["throughput"] * mat["albedo"] * ls["color"]
+            nee_albedo = mat["albedo"]
+            if cfg.has_volume:
+                from tracerboy_tpu.shade.volumetric import transmittance
+
+                nee_albedo = v3.where(
+                    vol_scatter, V3(one, one, one), nee_albedo
+                )
+                # Attenuate every shadow segment through the volume
+                # (ratio marching, jittered).
+                sh_jit = tbrng.uniform(
+                    lane, sample_index, i, tbrng.STREAM_VOLUME_SHADOW,
+                    seed,
+                )
+                t_vol = transmittance(
+                    scene, sh_org, ls["direction"], sh_tmax, do_nee,
+                    sh_jit, cfg.volume_shadow_steps,
+                )
+            else:
+                t_vol = V3(one, one, one)
+            contrib = s["throughput"] * nee_albedo * ls["color"] * t_vol
             s["radiance"] = v3.where(
                 add, s["radiance"] + contrib * light_mult, s["radiance"]
             )
@@ -906,6 +990,15 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         s["prev_perfect_specular"] = jnp.where(
             shading, perfect_spec, s["prev_perfect_specular"]
         )
+        if cfg.has_volume:
+            # Volume scatter: continue from the collision point along the
+            # HG-sampled direction (pdf == phase, weight 1; the albedo
+            # was folded into the delta-tracking weight).
+            s["origin"] = v3.where(vol_scatter, vol_point, s["origin"])
+            s["direction"] = v3.where(vol_scatter, vol_dir, s["direction"])
+            s["prev_perfect_specular"] = jnp.where(
+                vol_scatter, False, s["prev_perfect_specular"]
+            )
         s["alive"] = alive & ~died_on_light & ~med_escaped
         s["live_end"] = jnp.sum(s["alive"].astype(jnp.float32))
         return s
