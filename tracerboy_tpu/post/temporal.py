@@ -23,28 +23,13 @@ import jax.numpy as jnp
 from tracerboy_tpu.core.mathutil import luminance  # noqa: F401 (API re-export)
 
 
-def _neighborhood_minmax(img):
-    """Per-pixel 3x3 min/max with edge clamping."""
-    lo = img
-    hi = img
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dx == 0 and dy == 0:
-                continue
-            sh = jnp.roll(img, (dy, dx), axis=(0, 1))
-            lo = jnp.minimum(lo, sh)
-            hi = jnp.maximum(hi, sh)
-    return lo, hi
-
-
 def _neighborhood_minmax_planes(planes):
     """Per-pixel 3x3 min/max over a list of dense (H, W) planes.
 
-    Plane form of _neighborhood_minmax, with taps as pad-once + static
-    slices instead of jnp.roll (each roll is a cross-tile shuffle;
-    static slices of one edge-padded buffer fuse into the min/max).
-    Edge padding also gives true edge-clamped neighborhoods instead of
-    roll's wraparound."""
+    Taps are pad-once + static slices instead of jnp.roll (each roll is
+    a cross-tile shuffle; static slices of one edge-padded buffer fuse
+    into the min/max). Edge padding also gives true edge-clamped
+    neighborhoods instead of roll's wraparound."""
     H, W = planes[0].shape
     padded = [jnp.pad(p, 1, mode="edge") for p in planes]
     los = list(planes)
