@@ -6,7 +6,7 @@ time-to-PSNR gates. Run once on TPU hardware; goldens/ is committed.
 Goldens (linear radiance EXRs):
   cornell_512.exr      cornell-box 512x512, 1024 spp
   cornell_1080p.exr    cornell-box 1920x1088, 256 spp
-  vwvan_512x320.exr    vw-van 512x320, 256 spp (pallas backend)
+  vwvan_512x320.exr    vw-van 512x320, 1024 spp (pallas backend)
 """
 
 import argparse
@@ -23,7 +23,7 @@ JOBS = {
     "cornell_1080p": ("/root/reference/Scenes/cornell-box/scene.pbrt",
                       (1920, 1088), 256),
     "vwvan_512x320": ("/root/reference/Scenes/vw-van/vw-van.pbrt",
-                      (512, 320), 256),
+                      (512, 320), 1024),
 }
 
 
