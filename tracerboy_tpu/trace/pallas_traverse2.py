@@ -44,9 +44,14 @@ import numpy as np
 
 from tracerboy_tpu.accel.bvh import INVALID
 
-PACKET = 1024           # rays per packet: one (8, 128) VPU tile
-SUB, LANES = 8, 128
-PACKETS_PER_BLOCK = 16  # packets per kernel program (launch amortization)
+PACKET = 2048           # rays per packet: one (16, 128) VPU block.
+                        # A/B on teapot full waves: 1024 -> 2048 is
+                        # 1.48x on primary waves and 1.23x on 6-bounce
+                        # waves (per-ray redundancy = units(P)/P and
+                        # node-visit unions grow sublinearly with P for
+                        # coherent rays); 4096 regresses bounce waves.
+SUB, LANES = 16, 128
+PACKETS_PER_BLOCK = 8   # packets per kernel program (launch amortization)
 STACK_DEPTH = 96
 LEAF = 8                # triangles per cluster row
 QUEUE_RING = 16         # leaf queue slots (power of two)
