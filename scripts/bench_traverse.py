@@ -266,10 +266,13 @@ def main():
                 def timed(n):
                     # Enqueue n dispatches, force the last via a scalar
                     # readback (device stream is in-order, so forcing the
-                    # last output drains all of them).
+                    # last output drains all of them). Each dispatch gets
+                    # a bit-distinct t_max: the axon runtime CACHES
+                    # identical-input executions, which silently turned
+                    # repeat timings into cache hits.
                     t1 = time.time()
-                    for _ in range(n):
-                        out = fn(oj, dj, tmj)
+                    for k in range(n):
+                        out = fn(oj, dj, tmj * (1.0 + (k + 1) * 1e-6))
                     float(jnp.sum(out))
                     return time.time() - t1
 
