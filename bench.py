@@ -124,6 +124,32 @@ def bench_config_waves(results, n_runs=6):
             results[f"mrays/{name}"] = f"error: {type(e).__name__}: {e}"
 
 
+def bench_realtime_fps(results, frames=60, warmup=20):
+    """Fused RealTime frame rate at 512x512 on cornell (reference
+    headline: >30 FPS, README.md:18)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tracerboy_tpu.renderer import Renderer
+    from tracerboy_tpu.utils.config import RenderMode
+
+    r = Renderer(SCENES["cornell"], film_size=(512, 512))
+    r.settings = dataclasses.replace(
+        r.settings, render_mode=RenderMode.REAL_TIME
+    )
+    img = None
+    for _ in range(warmup):
+        img = r.render_realtime_frame_fused()
+    float(jnp.sum(img[0]))
+    t0 = time.time()
+    for _ in range(frames):
+        img = r.render_realtime_frame_fused()
+    float(jnp.sum(img[0]))
+    results["fps/realtime-512"] = round(frames / (time.time() - t0), 1)
+
+
 def _psnr(img, ref):
     import numpy as np
 
@@ -227,6 +253,11 @@ def main():
 
     if "configs" not in skip:
         bench_config_waves(results)
+    if "realtime" not in skip:
+        try:
+            bench_realtime_fps(results)
+        except Exception as e:
+            results["fps/realtime-512"] = f"error: {type(e).__name__}"
     if "psnr" not in skip:
         bench_time_to_psnr(
             results, "cornell", (1920, 1088),
