@@ -107,3 +107,35 @@ class TestCheckpoint:
         np.testing.assert_array_equal(
             np.asarray(r3.state.accum), np.asarray(r1.state.accum)
         )
+
+
+class TestSceneFacts:
+    """The static scene facts that specialize render_wave's jit must
+    match what each scene actually contains (wrong facts silently
+    compile out shading paths)."""
+
+    def test_cornell_facts(self):
+        from tracerboy_tpu.renderer import Renderer
+
+        r = Renderer("/root/reference/Scenes/cornell-box/scene.pbrt",
+                     film_size=(32, 32))
+        cfg = r.wave_config()
+        assert not cfg.has_textures
+        assert not cfg.has_image_tex
+        assert not cfg.has_alpha
+        assert not cfg.has_volume
+        assert cfg.num_lights > 0
+        assert cfg.traversal == "brute"
+
+    def test_teapot_facts(self):
+        from tracerboy_tpu.renderer import Renderer
+
+        r = Renderer("/root/reference/Scenes/Teapot/scene.pbrt",
+                     film_size=(32, 32))
+        cfg = r.wave_config()
+        assert cfg.has_textures          # checker floor
+        assert not cfg.has_image_tex     # procedural only
+        assert not cfg.has_scale_tex
+        assert not cfg.has_emissive_tex
+        assert cfg.has_env
+        assert cfg.traversal == "pallas"
