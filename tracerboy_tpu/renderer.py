@@ -246,10 +246,20 @@ class Renderer:
         s = self.settings
         # Cache the device scalars: rebuilding them every frame costs
         # ~2 ms of eager device_put round trips on a remote attachment.
+        # Keyed on the scalar VALUES (not settings identity) so in-place
+        # mutation of a settings object can never serve stale params
+        # (advisor finding, round 2).
+        fp_key = (
+            s.camera_settings.dof_focus_distance,
+            s.camera_settings.dof_aperture_width,
+            s.fireflies_clamp,
+            s.performance_settings.use_blue_noise,
+            self.seed,
+        )
         cache = getattr(self, "_fp_cache", None)
-        if (cache is not None and cache[0] is s and cache[1] == self.seed
+        if (cache is not None and cache[0] == fp_key
                 and fixed_offset is None):
-            return dict(cache[2])
+            return dict(cache[1])
         p = dict(
             dof_focus=jnp.float32(s.camera_settings.dof_focus_distance),
             dof_aperture=jnp.float32(s.camera_settings.dof_aperture_width),
@@ -271,7 +281,7 @@ class Renderer:
         if fixed_offset is not None:
             p["fixed_pixel_offset"] = jnp.asarray(fixed_offset, jnp.float32)
         else:
-            self._fp_cache = (s, self.seed, dict(p))
+            self._fp_cache = (fp_key, dict(p))
         return p
 
     # -- adaptive sampling (VarianceUtil.h ShouldSkipRay) -----------------
@@ -647,13 +657,26 @@ class Renderer:
         return {k: np.asarray(v[material_id]) for k, v in mats.items()}
 
     def set_material(self, material_id: int, **fields):
-        """Live material editing: mutate a record and invalidate history
-        (TracerBoy::SetMaterial, TracerBoy.cpp:2592-2604)."""
+        """Live material editing: O(1) in scene size.
+
+        Updates ONLY the material SoA arrays on device — the analog of
+        the reference's single material-buffer update
+        (TracerBoy.cpp:2592-2604 + 3931-3939) — never re-packing
+        BVH/triangle tables, so edit latency is independent of triangle
+        count. The one exception: editing `flags` can change which
+        triangles occlude shadow rays, so that rare case also refreshes
+        the derived tri_shadow_opaque plane (still no BVH re-pack; the
+        pallas shadow BVH keeps its conservative light-exclusion)."""
         for k, v in fields.items():
-            arr = np.asarray(self.compiled.materials[k])
+            arr = np.asarray(self.compiled.materials[k]).copy()
             arr[material_id] = v
             self.compiled.materials[k] = arr
-        self.scene_pytree = self.compiled.as_pytree(
-            pack_pallas=(self.traversal == "pallas")
-        )
+        self.scene_pytree["materials"] = {
+            k: jnp.asarray(v) for k, v in self.compiled.materials.items()
+        }
+        if "flags" in fields:
+            self.scene_pytree["tri_shadow_opaque"] = jnp.asarray(
+                (self.compiled.materials["flags"][
+                    self.compiled.tri_material] & 0x10) == 0
+            )
         self.invalidate_history()

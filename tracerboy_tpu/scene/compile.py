@@ -112,10 +112,6 @@ class CompiledScene:
         def j(x):
             return jnp.asarray(x)
 
-        extra = {}
-        if pack_pallas:
-            extra = self.pallas_pack()
-
         # SoA-layout companions (see core/vec3.py): fused triangle data,
         # flattened texture channels — all minor-dim-dense on TPU.
         tri9 = np.concatenate(
@@ -148,6 +144,12 @@ class CompiledScene:
             ],
             axis=0,
         ).astype(np.float32)
+        tri_attr_rows = np.ascontiguousarray(tri_attr_t.T)   # (T, 19)
+
+        extra = {}
+        if pack_pallas:
+            extra = self.pallas_pack(tri_attr_rows)
+
         env_flat = self.env_map.reshape(-1, 3).astype(np.float32)
 
         # Bilinear quad rows: row i = the 2x2 texel neighborhood of texel
@@ -198,7 +200,7 @@ class CompiledScene:
             **volume,
             tri9=j(tri9),
             tri_attr_t=j(tri_attr_t),
-            tri_attr_rows=j(np.ascontiguousarray(tri_attr_t.T)),
+            tri_attr_rows=j(tri_attr_rows),
             env_quad=j(env_quad),
             env_r=j(env_flat[:, 0]), env_g=j(env_flat[:, 1]),
             env_b=j(env_flat[:, 2]),
@@ -236,10 +238,16 @@ class CompiledScene:
             camera=self.camera.as_pytree(),
         )
 
-    def pallas_pack(self) -> dict:
+    def pallas_pack(self, tri_attr_rows=None) -> dict:
         """Packed arrays for the Pallas packet kernel: a leaf-8 BVH over
         the scene triangles plus a second one over non-light triangles
-        for shadow rays (the IsLight pass-through semantics)."""
+        for shadow rays (the IsLight pass-through semantics).
+
+        When tri_attr_rows (T, 19) is given, also emits the attribute
+        row tables reordered to PACKED triangle order (pk_attr_rows /
+        pk_sh_attr_rows), so per-hit fetches skip the packed->scene id
+        remap — a single-plane gather that dominated per-bounce shading
+        cost (1.75 ms/bounce at 245k rays, round-3 profile)."""
         from tracerboy_tpu.trace.pallas_traverse import pack_scene_for_pallas
 
         pk, _ = pack_scene_for_pallas(
@@ -255,7 +263,7 @@ class CompiledScene:
         )
         import jax.numpy as jnp
 
-        return dict(
+        out = dict(
             pk_nodes=pk["nodes"], pk_tris=pk["tris"],
             pk_tri_map=pk["tri_map"],
             pk_sh_nodes=pk_sh["nodes"], pk_sh_tris=pk_sh["tris"],
@@ -263,6 +271,15 @@ class CompiledScene:
                 pk_sh["tri_map"]
             ],
         )
+        if tri_attr_rows is not None:
+            T = tri_attr_rows.shape[0]
+            order = np.clip(np.asarray(pk["tri_map"]), 0, T - 1)
+            sh_order = np.clip(
+                so_idx[np.asarray(pk_sh["tri_map"])], 0, T - 1
+            )
+            out["pk_attr_rows"] = jnp.asarray(tri_attr_rows[order])
+            out["pk_sh_attr_rows"] = jnp.asarray(tri_attr_rows[sh_order])
+        return out
 
 
 def _transform_mesh(mesh: ir.TriangleMeshIR):

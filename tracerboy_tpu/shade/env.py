@@ -130,7 +130,11 @@ def sample_environment_quad_soa(d, env_quad, env_h: int, env_w: int,
     x0 = jnp.floor(fx).astype(jnp.int32)
     y0 = jnp.floor(fy).astype(jnp.int32)
     tx = fx - x0
-    ty = fy - y0
+    # Clamp the vertical blend at the poles: for fy < 0 the quad row of
+    # texel (0, x) holds rows 0 and 1, so an unclamped ty would blend
+    # toward row 1 where sample_environment_soa clamps both taps to row
+    # 0 (advisor finding, round 2).
+    ty = jnp.where(y0 < 0, 0.0, fy - y0)
     x0w = jnp.mod(x0, W)
     y0c = jnp.clip(y0, 0, H - 1)
     rows = env_quad[y0c * W + x0w]           # (N, 12)

@@ -137,7 +137,14 @@ def _pallas_sorted(scene, origin, direction, t_max, shadow: bool,
 
 def _pallas_closest(scene, origin, direction, t_max, shadow: bool,
                     compact: bool = True):
-    """Packet traversal (v2 kernel) with coherence sorting + padding."""
+    """Packet traversal (v2 kernel) with coherence sorting + padding.
+
+    Returns PACKED-order triangle ids: all downstream per-hit fetches go
+    through packed-order attribute tables (pk_attr_rows /
+    pk_sh_attr_rows), which removes the packed->scene remap — a
+    single-plane gather that cost 1.75 ms per bounce at 245k rays
+    (measured round 3; single-plane gathers run ~100x slower than
+    wide-row gathers on TPU)."""
     from tracerboy_tpu.trace.pallas_traverse2 import traverse_packets2
 
     o_s, d_s, tmax_p, packed, tris_in_hbm, sidx, prefix = _pallas_sorted(
@@ -147,9 +154,6 @@ def _pallas_closest(scene, origin, direction, t_max, shadow: bool,
     t, tri, u, v = traverse_packets2(
         o_s, d_s, tmax_p, packed, tris_in_hbm=tris_in_hbm
     )
-    # Packed tri ids -> scene tri order.
-    tri_map = scene[prefix + "tri_map"]
-    tri = jnp.where(tri >= 0, tri_map[jnp.clip(tri, 0, None)], -1)
     # Unsort by carrying the outputs through a sort on the saved index.
     _, t, tri, u, v = jax.lax.sort(
         (sidx, t[:N], tri[:N], u[:N], v[:N]), num_keys=1
@@ -177,20 +181,28 @@ def _pallas_anyhit(scene, origin, direction, t_max, compact: bool = True):
 ALPHA_CUTOFF = 0.9  # SharedHitGroup.h:163
 
 
-def _alpha_at_hit(scene, tri, u, v):
+def _alpha_at_hit(scene, tri, u, v, attr_key="tri_attr_rows"):
     """Cutout alpha at a hit; 1.0 where opaque / no alpha texture / miss.
 
     The reference's IsValidHit (SharedHitGroup.h:157-179): sample the
     material's alpha texture (or the albedo texture's alpha channel,
     bound as a companion record at scene load) at the hit UV.
+
+    attr_key selects the attribute-row table matching the id space of
+    `tri` (scene order for brute/jnp; packed order for the pallas
+    main/shadow BVHs).
     """
     from tracerboy_tpu.shade.surface import eval_texture
 
-    tbl = scene["tri_attr_rows"]
+    tbl = scene[attr_key]
     T = tbl.shape[0]
     tric = jnp.clip(tri, 0, T - 1)
     r = tbl[tric]                                # one wide-row gather
-    rows = [r[:, j] for j in (9, 10, 11, 12, 13, 14, 15)]
+    # One explicit transpose, then contiguous row slices: slicing 7
+    # columns straight out of the (N, 19) gather costs ~0.18 ms/plane
+    # on TPU (strided tile reads), the transpose ~0.3 ms total.
+    rt = r.T
+    rows = [rt[j] for j in (9, 10, 11, 12, 13, 14, 15)]
     w_b = 1.0 - u - v
     uv_u = rows[0] * w_b + rows[2] * u + rows[4] * v
     uv_v = rows[1] * w_b + rows[3] * u + rows[5] * v
@@ -246,10 +258,12 @@ def _closest_dispatch(scene, o_v3, d_v3, t_max, cfg):
     t, tri, u, v, cost = _closest_once(scene, o_v3, d_v3, t_max, cfg)
     if not cfg.has_alpha:
         return t, tri, u, v, cost
+    attr_key = ("pk_attr_rows" if cfg.traversal == "pallas"
+                else "tri_attr_rows")
     o_cur = o_v3
     t_base = jnp.zeros_like(t_max)
     for _ in range(cfg.alpha_rounds):
-        a = _alpha_at_hit(scene, tri, u, v)
+        a = _alpha_at_hit(scene, tri, u, v, attr_key)
         reject = (tri >= 0) & (a < ALPHA_CUTOFF)
         step = t + 1e-4 + 1e-4 * jnp.abs(t)
         o_cur = v3.where(reject, o_cur + d_v3 * step, o_cur)
@@ -298,6 +312,8 @@ def _occluded_dispatch(scene, o_v3, d_v3, t_max, cfg):
     # excludes light geometry; other backends treat non-shadow-opaque
     # triangles as pass-through (the IsLight skip).
     shadow_opaque = scene.get("tri_shadow_opaque")
+    attr_key = ("pk_sh_attr_rows" if cfg.traversal == "pallas"
+                else "tri_attr_rows")
     occluded = t_max < 0  # all-False
     o_cur = o_v3
     t_base = jnp.zeros_like(t_max)
@@ -308,7 +324,7 @@ def _occluded_dispatch(scene, o_v3, d_v3, t_max, cfg):
             shadow=(cfg.traversal == "pallas"),
         )
         hit = tri >= 0
-        a = _alpha_at_hit(scene, tri, u, v)
+        a = _alpha_at_hit(scene, tri, u, v, attr_key)
         solid = a >= ALPHA_CUTOFF
         if shadow_opaque is not None and cfg.traversal != "pallas":
             T = shadow_opaque.shape[0]
@@ -430,6 +446,15 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
     from tracerboy_tpu.shade.surface import fetch_material_soa
     from tracerboy_tpu.trace.camera import generate_primary_rays_soa
 
+    if cfg.has_volume and (cfg.volume_steps > 128):
+        # vrng2 packs the walk iteration as (i << 7) + k: more than 128
+        # steps would alias bounce i's RNG streams into bounce i+1's,
+        # correlating delta-tracking samples (advisor finding, round 2).
+        raise ValueError(
+            f"volume_steps={cfg.volume_steps} > 128 would alias "
+            "per-bounce volume RNG streams"
+        )
+
     N = pixel_ids.shape[0]
     lane = pixel_ids
     seed = params.get("seed", 0)
@@ -508,22 +533,33 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         )
 
     env_h, env_w = scene["env_map"].shape[0], scene["env_map"].shape[1]
-    T_padded = scene["tri9"].shape[0]
-    use_onehot_attrs = T_padded <= 256
+    # The pallas backend leaves hit ids in PACKED order and fetches
+    # attributes from the packed-order row table (no remap gather).
+    attr_key = ("pk_attr_rows" if cfg.traversal == "pallas"
+                else "tri_attr_rows")
+    T_padded = scene[attr_key].shape[0]
+    use_onehot_attrs = (
+        T_padded <= 256 and cfg.traversal != "pallas"
+    )
 
     def tri_attrs(tric):
         """Per-hit triangle attributes (normals, uvs, material id,
         tangent). Small scenes use the one-hot MXU lookup; large scenes
         do ONE wide-row gather from the (Tp, 19) row table — gather cost
         on TPU is per row, not per element, so one 19-float row costs
-        ~1/19 of 19 per-plane gathers (measured 57x; ARCHITECTURE.md)."""
+        ~1/19 of 19 per-plane gathers (measured 57x; ARCHITECTURE.md).
+        The gathered rows are transposed ONCE before slicing into
+        per-attribute planes: direct column slices of a (N, 19) array
+        cost ~0.18 ms each on TPU (strided tile reads — 2.3 ms/bounce
+        measured in round 2's profile), while transpose + contiguous row
+        slices cost ~0.3 ms total."""
         if use_onehot_attrs:
             from tracerboy_tpu.shade.surface import _take_cols
 
             return _take_cols(scene["tri_attr_t"], tric)
         n_rows = 19 if cfg.has_normal_maps else 16
-        rows = scene["tri_attr_rows"][tric]          # (N, 19)
-        return tuple(rows[:, j] for j in range(n_rows))
+        rows_t = scene[attr_key][tric].T             # (19, N)
+        return tuple(rows_t[j] for j in range(n_rows))
 
     state = dict(
         origin=origin,
@@ -540,6 +576,15 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         rays_traced=jnp.sum(vz),
         live_end=jnp.sum(vz),
     )
+    if cfg.has_env:
+        # Lazy environment: each lane misses at most once, so the miss
+        # just RECORDS (throughput, direction stays in state) and ONE
+        # env fetch runs after the bounce loop — instead of a per-bounce
+        # (N, 12) quad-row gather for every lane (1.07 ms/bounce
+        # measured; 6x saved on a 6-bounce wave).
+        state["env_throughput"] = vzero3
+        if cfg.want_aovs:
+            state["first_miss"] = vz != 0.0
     if cfg.want_aovs:
         state.update(
             aov_albedo=vzero3,
@@ -617,32 +662,16 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         hit = alive & (tri >= 0) & ~vol_scatter
         miss = alive & (tri < 0) & ~vol_scatter
 
-        # --- miss: environment (kernel.glsl:1327-1343) ------------------
+        # --- miss: environment (kernel.glsl:1327-1343), lazily ----------
+        # Record the throughput at the miss; the direction is already
+        # preserved in state (dead lanes stop updating it). The single
+        # env fetch happens after the bounce loop.
         if cfg.has_env:
-            if "env_quad" in scene:
-                from tracerboy_tpu.shade.env import (
-                    sample_environment_quad_soa,
-                )
-
-                env = sample_environment_quad_soa(
-                    s["direction"], scene["env_quad"], env_h, env_w,
-                    scene["env_transform"], scene["env_color_scale"],
-                )
-            else:
-                env = sample_environment_soa(
-                    s["direction"], scene["env_r"], scene["env_g"],
-                    scene["env_b"], env_h, env_w,
-                    scene["env_transform"], scene["env_color_scale"],
-                )
-        else:
-            env = vzero3
-        s["radiance"] = v3.where(
-            miss, s["radiance"] + s["throughput"] * env, s["radiance"]
-        )
-        if cfg.want_aovs:
-            s["aov_emissive"] = v3.where(
-                miss & (i == 0), s["radiance"], s["aov_emissive"]
+            s["env_throughput"] = v3.where(
+                miss, s["throughput"], s["env_throughput"]
             )
+            if cfg.want_aovs:
+                s["first_miss"] = s["first_miss"] | (miss & (i == 0))
         alive = alive & ~miss
 
         # --- hit attributes --------------------------------------------
@@ -1006,6 +1035,28 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
     state = jax.lax.fori_loop(0, cfg.max_bounces, bounce, state)
 
     radiance = state["radiance"]
+    if cfg.has_env:
+        # Deferred environment fetch: one quad-row gather for the whole
+        # wave. env_throughput is zero for lanes that never missed.
+        if "env_quad" in scene:
+            from tracerboy_tpu.shade.env import sample_environment_quad_soa
+
+            env = sample_environment_quad_soa(
+                state["direction"], scene["env_quad"], env_h, env_w,
+                scene["env_transform"], scene["env_color_scale"],
+            )
+        else:
+            env = sample_environment_soa(
+                state["direction"], scene["env_r"], scene["env_g"],
+                scene["env_b"], env_h, env_w,
+                scene["env_transform"], scene["env_color_scale"],
+            )
+        env_contrib = state["env_throughput"] * env
+        radiance = radiance + env_contrib
+        if cfg.want_aovs:
+            state["aov_emissive"] = v3.where(
+                state["first_miss"], env_contrib, state["aov_emissive"]
+            )
     clamp = params.get("firefly_clamp", 0.0)
     do_clamp = clamp >= EPSILON
     radiance = V3(
