@@ -15,6 +15,7 @@ jitted step. Progressive semantics match the reference:
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -240,6 +241,11 @@ class Renderer:
             ),
             has_volume=self.compiled.has_volume,
             traversal=self.traversal,
+            binned_bounces=(
+                self.traversal == "pallas"
+                and "bn_nodes" in self.scene_pytree
+                and os.environ.get("TB_BINNED", "1") != "0"
+            ),
         )
 
     def frame_params(self, fixed_offset=None) -> dict:

@@ -265,8 +265,10 @@ class CompiledScene:
 
         out = dict(
             pk_nodes=pk["nodes"], pk_tris=pk["tris"],
+            pk_tris_bw=pk["tris_bw"],
             pk_tri_map=pk["tri_map"],
             pk_sh_nodes=pk_sh["nodes"], pk_sh_tris=pk_sh["tris"],
+            pk_sh_tris_bw=pk_sh["tris_bw"],
             pk_sh_tri_map=jnp.asarray(so_idx.astype(np.int32))[
                 pk_sh["tri_map"]
             ],
@@ -279,6 +281,11 @@ class CompiledScene:
             )
             out["pk_attr_rows"] = jnp.asarray(tri_attr_rows[order])
             out["pk_sh_attr_rows"] = jnp.asarray(tri_attr_rows[sh_order])
+        # Binned-traversal tables (trace/binned.py) for incoherent bounce
+        # waves — shares the pk triangle id space.
+        from tracerboy_tpu.trace.binned import pack_scene_binned
+
+        out.update(pack_scene_binned(pk["tris"]))
         return out
 
 

@@ -103,7 +103,8 @@ def sample_environment_soa(d, env_r, env_g, env_b, env_h: int, env_w: int,
 
 
 def sample_environment_quad_soa(d, env_quad, env_h: int, env_w: int,
-                                env_transform, env_color_scale):
+                                env_transform, env_color_scale,
+                                gather_mask=None):
     """SoA environment lookup via the precomputed quad-row table.
 
     env_quad: (H*W, 12) — row i holds the 2x2 bilinear neighborhood of
@@ -137,7 +138,13 @@ def sample_environment_quad_soa(d, env_quad, env_h: int, env_w: int,
     ty = jnp.where(y0 < 0, 0.0, fy - y0)
     x0w = jnp.mod(x0, W)
     y0c = jnp.clip(y0, 0, H - 1)
-    rows = env_quad[y0c * W + x0w]           # (N, 12)
+    idx = y0c * W + x0w
+    if gather_mask is not None:
+        # Lanes whose result is discarded gather the (cache-hot) first
+        # row instead of a random texel — random-row gathers from a big
+        # table dominate this op's cost on TPU.
+        idx = jnp.where(gather_mask, idx, 0)
+    rows = env_quad[idx]                     # (N, 12)
     w00 = (1 - tx) * (1 - ty)
     w01 = tx * (1 - ty)
     w10 = (1 - tx) * ty

@@ -2,43 +2,48 @@
 
 The packet kernel (pallas_traverse2.py) shares one node stream across a
 2048-ray packet, so incoherent bounce waves pay the measured ~34x
-divergence tax (ARCHITECTURE.md) and bottom out at ~0.7 Mrays/s. This
-backend removes the union cost entirely by inverting the loop: instead of
-rays walking the tree, rays are SORTED BY the cluster they need next, and
-each 128-triangle cluster is tested against a dense, perfectly-occupied
-tile of the rays that asked for it — the TPU-native analog of ray-stream
-binning / queue-based wavefront traversal. The reference's corresponding
-hot loop is the software traversal stack machine
+divergence tax (ARCHITECTURE.md) and bottom out around ~1 Mrays/s. This
+backend removes the union cost by inverting the loop: rays are SORTED BY
+the clusters they need, and each 128-triangle cluster is tested against
+dense, perfectly-occupied tiles of exactly the rays that asked for it —
+the TPU-native analog of ray-stream binning / queue-based wavefront
+traversal. The reference's corresponding hot loop is the software
+traversal stack machine
 (D3D12RaytracingFallback/src/TraverseFunction.hlsli:537-784); this module
 replaces its *scheduling*, not its math contract (closest hit in
 (0, t_max), barycentrics out).
 
-Pipeline per wave (all device-side, one jit):
- 1. SELECT  — a Pallas packet walk over a coarse BVH whose leaves are
-    128-triangle clusters. Each ray keeps its K nearest clusters
-    (entry-t ordered) in per-lane registers, plus the min entry-t of
-    anything it had to drop.
- 2. ROUNDS  — R rounds of: pick each ray's nearest untested cluster,
-    lax.sort the whole ray state by that cluster id (payload-carrying
-    sort: ~1.2 ms for 262k rows x 30 planes, measured), then run the
-    dense-tile kernel: each 256-ray tile is tested against the <=D
-    cluster segments it spans via one (3C,4)x(4,P) MXU dot + fused
-    VMEM epilogue (measured 89-108 Gpairs/s — 18x the VPU brute rate,
-    6x the XLA batched-dot form, which round-trips its (T,P,3C)
-    intermediates through HBM).
-    A ray is RESOLVED when its best hit is nearer than every untested
-    cluster's entry t — per-cluster-granularity early termination.
- 3. FALLBACK — rays still unresolved after R rounds (needed > R
-    clusters, or > K overlaps dropped) re-enter the v2 packet kernel
-    with everyone else dead; dead-lane compaction makes that cheap.
+Measured design inputs (scripts/bench_binned*.py, cluster_stats, v5e):
+- a bounce ray must test ~10 clusters on average (p90 ~20) before the
+  nearest-hit is provable — mostly origin-adjacent boxes with entry-t
+  ~ 0, which ANY conservative traversal visits;
+- payload-carrying lax.sort moves ~1M rows x 10 planes in ~2 ms;
+- the dense tile kernel (one (3C,4)x(4,P) MXU dot + fused VMEM epilogue)
+  runs at 89-108 Gpairs/s — 18x the VPU broadcast rate and 6x the XLA
+  batched-dot form (whose (T,P,3C) intermediates round-trip HBM);
+- per-ray top-k via lax.top_k / row-sort is unusable (76 ms at
+  (245k, 1024)); the K-nearest set is instead maintained in per-lane
+  registers during a coarse packet walk.
 
-Triangle ids are in PACKED (pk) order — the same id space as the packet
-kernel — so both backends share pk_attr_rows and no remap gather exists
-anywhere on the hot path.
+Pipeline per wave (one jit):
+ 1. SELECT  — Pallas packet walk over a coarse BVH whose leaves are
+    128-tri clusters; each ray keeps its K nearest clusters in per-lane
+    registers plus the min entry-t of anything dropped.
+ 2. EXPAND + SORT — K pairs per ray, ONE lax.sort by cluster id.
+ 3. DENSE   — tile kernel: 256 pairs vs their <= D cluster segments.
+ 4. COMBINE — one sort by original ray index (doubles as the final
+    unsort), (N, K) min-reduce.
+ 5. FALLBACK — rays whose K-nearest set was insufficient (dropped a
+    cluster nearer than their best hit) re-enter the v2 packet kernel
+    with everyone else dead; dead-lane compaction keeps that cheap.
+
+Triangle ids are PACKED (pk) ids — the packet kernel's id space — so
+both backends share pk_attr_rows and no remap gather exists anywhere.
 
 Intersection math is Baldwin-Weber (precomputed world-to-barycentric
-rows; JCGT 2016): per cluster a (3C, 4) table [n|-d ; g1|h1 ; g2|h2]
-turns the whole test into two tiny MXU dots plus ~12 VPU ops/pair.
+rows; Baldwin & Weber, JCGT 2016): per cluster a (3C, 4) table
+[n|-d ; g1|h1 ; g2|h2] turns the test into two tiny MXU dots plus ~12
+VPU ops per ray-triangle pair.
 """
 
 from __future__ import annotations
@@ -52,17 +57,17 @@ import numpy as np
 from tracerboy_tpu.accel.bvh import INVALID, build_bvh
 
 CLUSTER = 128          # triangles per cluster (= 16 packet-kernel rows)
-KSEL = 8               # nearest clusters tracked per ray
-ROUNDS = 4             # cluster-test rounds before the packet fallback
-TILE_P = 256           # rays per dense tile
-DSEG = 4               # max cluster segments handled per tile
+KSEL = 16              # nearest clusters tracked/tested per ray
+TILE_P = 256           # pair rows per dense tile
+DSEG = 8               # max cluster segments handled per tile (pl.when
+                       # skips absent segments, so extra slots are cheap)
 SUB, LANES = 16, 128
-PACKET = SUB * LANES   # selection kernel packet
+PACKET = SUB * LANES   # selection kernel packet (2048 rays)
 SEL_PPB = 8            # selection packets per grid step
 STACK_DEPTH = 64
 BIG = 1e30
 
-# 8-element descending sorting network (Batcher), as in pallas_traverse2.
+# 8-element sorting network (Batcher), as in pallas_traverse2.
 _SORT_NET = [
     (0, 1), (2, 3), (4, 5), (6, 7),
     (0, 2), (1, 3), (4, 6), (5, 7),
@@ -80,8 +85,8 @@ def _bw_rows(v0, v1, v2):
     """Baldwin-Weber rows for (T, 3) triangle vertices.
 
     Returns (T, 3, 4): [n | -d], [g1 | h1], [g2 | h2] with
-    n = e1 x e2, d = n.v0, g1 = (e2 x n)/n.n, g2 = (n x e1)/n.n.
-    t = -(n.o - d)/(n.dir); u = g1.P + h1; v = g2.P + h2 at P = o + t d.
+    n = e1 x e2, d = n.v0, g1 = (e2 x n)/n.n, g2 = (n x e1)/n.n, so that
+    t = -(n.o - d)/(n.dir), u = g1.P + h1, v = g2.P + h2 at P = o + t d.
     Degenerate triangles (n ~ 0) get all-zero rows: B = 0 and A = 0
     give t = 0, rejected by the t > eps window.
     """
@@ -98,7 +103,7 @@ def _bw_rows(v0, v1, v2):
     h2 = -(g2 * v0).sum(axis=1)
     n = np.where(good[:, None], n, 0.0)
     d = np.where(good, d, 0.0)
-    rows = np.stack(
+    return np.stack(
         [
             np.concatenate([n, -d[:, None]], axis=1),
             np.concatenate([g1, h1[:, None]], axis=1),
@@ -106,7 +111,6 @@ def _bw_rows(v0, v1, v2):
         ],
         axis=1,
     ).astype(np.float32)
-    return rows
 
 
 def pack_scene_binned(pk_tris, num_pk_rows: int | None = None) -> dict:
@@ -116,11 +120,10 @@ def pack_scene_binned(pk_tris, num_pk_rows: int | None = None) -> dict:
     pk_tris: (Cpk, 128) f32 rows of 8 triangles each (x 9 floats).
 
     Returns dict(
-      bn_nodes   (W, 128) i32  — coarse wide-BVH over clusters; leaf
-                                 child c encodes cluster -c-1,
-      bn_mot     (n_cl, 3*CLUSTER, 4) f32 — Baldwin-Weber rows, cluster-
-                                 local triangle order,
-      bn_base    (n_cl + 1,) i32 — packed tri id base per cluster,
+      bn_nodes (W, 128) i32 — coarse wide-BVH over clusters; leaf child
+                              c encodes cluster -c-1 (coarse order),
+      bn_mot   (n_cl, 3*CLUSTER, 4) f32 — Baldwin-Weber rows,
+      bn_base  (n_cl + 1,) i32 — packed tri id base per cluster,
     )
     """
     rows = np.asarray(pk_tris, np.float32)
@@ -137,8 +140,8 @@ def pack_scene_binned(pk_tris, num_pk_rows: int | None = None) -> dict:
     tri = rows[:, : 8 * 9].reshape(-1, 9)      # (n_cl*CLUSTER, 9) pk order
     v0, v1, v2 = tri[:, 0:3], tri[:, 3:6], tri[:, 6:9]
 
-    # Chunk AABBs (pk-order chunks of CLUSTER tris). Degenerate padding
-    # triangles are all-zero; exclude them from bounds via the area test.
+    # Chunk AABBs (pk-order chunks of CLUSTER tris); degenerate padding
+    # triangles (zero area) are excluded from the bounds.
     area = np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
     ok = (area > 0)[:, None]
     lo3 = np.where(ok, np.minimum(np.minimum(v0, v1), v2), BIG)
@@ -150,10 +153,10 @@ def pack_scene_binned(pk_tris, num_pk_rows: int | None = None) -> dict:
     lo = np.where(empty[:, None], np.float32(BIG), lo)
     hi = np.where(empty[:, None], np.float32(-BIG), hi)
 
-    # Coarse 8-wide BVH over cluster boxes: feed (lo, hi, centroid) as
-    # the three "vertices" — their min/max is exactly the box.
+    # Coarse 8-wide BVH over cluster boxes: (lo, hi, centroid) as the
+    # three "vertices" — their min/max is exactly the box.
     bvh = build_bvh(lo, hi, ctr, leaf_size=1)
-    corder = np.asarray(bvh.tri_order)[: bvh.num_clusters]  # coarse->chunk
+    corder = np.asarray(bvh.tri_order)[: len(lo)]  # coarse id -> chunk
 
     W = bvh.num_nodes
     blo = np.asarray(bvh.bounds_lo)
@@ -170,13 +173,10 @@ def pack_scene_binned(pk_tris, num_pk_rows: int | None = None) -> dict:
     )
     nrows[:, 48:56] = ch
 
-    # MOT in coarse cluster order; triangle base table maps cluster ->
-    # packed tri id range start.
-    bw = _bw_rows(v0, v1, v2)                  # (n_cl*CLUSTER, 3, 4)
-    bw = bw.reshape(n_cl, CLUSTER, 3, 4)[corder]
+    bw = _bw_rows(v0, v1, v2).reshape(n_cl, CLUSTER, 3, 4)[corder]
     mot = bw.transpose(0, 2, 1, 3).reshape(n_cl, 3 * CLUSTER, 4)
     base = np.concatenate(
-        [corder.astype(np.int32) * CLUSTER, np.zeros(1, np.int32)]
+        [corder.astype(np.int32) * CLUSTER, np.full(1, -1, np.int32)]
     )
 
     return dict(
@@ -206,7 +206,7 @@ def _make_select_kernel(K: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(o_ref, d_ref, tmax_ref, nodes_ref,
+    def kernel(o_ref, d_ref, tmax_ref, tlo_ref, nodes_ref,
                out_t_ref, out_c_ref, out_drop_ref,
                stack_ref, slot_t_ref, slot_c_ref, worst_ref, drop_ref):
         dummy_idx = nodes_ref.shape[0] - 1
@@ -226,6 +226,7 @@ def _make_select_kernel(K: int):
             inv_y = 1.0 / fix(dy)
             inv_z = 1.0 / fix(dz)
             tmax = tmax_ref[pp]
+            tlo = tlo_ref[pp]
 
             stack_ref[0] = 0
             slot_t_ref[...] = jnp.full((K * SUB, LANES), jnp.float32(BIG))
@@ -271,20 +272,29 @@ def _make_select_kernel(K: int):
                     hit = (t_far >= t_near) & (t_near < cap)
                     cid = row[0, 48 + c]
                     is_leaf = cid < 0
+                    # Windowed re-selection (t_lo > 0): leaf clusters
+                    # whose entry-t was already covered by an earlier
+                    # phase are skipped; internal nodes still descend
+                    # (a child's t_near can exceed its parent's).
+                    leaf_hit = hit & (t_near >= tlo)
                     tmin = jnp.min(jnp.where(hit, t_near, jnp.float32(BIG)))
                     want = (cid != INVALID) & (tmin < jnp.float32(BIG))
                     tmins.append(tmin)
                     cids.append(cid)
                     wants.append(want & ~is_leaf)
-                    leaf_data.append((cid, is_leaf & want, hit, t_near))
+                    leaf_want = (
+                        is_leaf & (cid != INVALID)
+                        & jnp.any(leaf_hit)
+                    )
+                    leaf_data.append((cid, leaf_want, leaf_hit, t_near))
 
-                # Leaf children: insert into each lane's K-nearest set.
+                # Leaf children: insert into each lane's K-nearest set
+                # (replace the worst slot; track the min dropped t).
                 for cid, leaf_want, hit, t_near in leaf_data:
                     @pl.when(leaf_want)
                     def _():
                         cluster = -cid - 1
                         want_lane = hit
-                        # argmax over the K slots (current worst)
                         wm = slot_t_ref[0:SUB]
                         am = jnp.zeros((SUB, LANES), jnp.int32)
                         for j in range(1, K):
@@ -349,42 +359,48 @@ def _make_select_kernel(K: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def select_clusters(o_t, d_t, tm, nodes, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "K"))
+def select_clusters(o_t, d_t, tm, tlo, nodes, K: int = KSEL,
+                    interpret: bool = False):
     """Per-ray K-nearest-cluster selection.
 
-    o_t/d_t: (n_packets, 3, SUB, LANES); tm: (n_packets, SUB, LANES).
+    o_t/d_t: (n_packets, 3, SUB, LANES); tm/tlo: (n_packets, SUB,
+    LANES). Clusters with entry-t < tlo are skipped (windowed
+    re-selection for later phases; pass zeros for the first).
     Returns (slot_t, slot_c, dropped_min):
-      slot_t (n_packets, K*SUB, LANES) f32 entry-t (BIG = empty slot),
-      slot_c same-shaped i32 cluster ids (-1 = empty),
-      dropped_min (n_packets, SUB, LANES) f32.
+      slot_t (n_packets, K*SUB, LANES) f32 entry-t (BIG = empty),
+      slot_c same-shape i32 cluster ids (-1 = empty),
+      dropped_min (n_packets, SUB, LANES) f32 min entry-t of clusters
+      that overflowed the K-nearest set (BIG = none dropped).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_packets = o_t.shape[0]
-    K = KSEL
     nodes_d = jnp.concatenate(
         [nodes, jnp.asarray(_dummy_node_row())], axis=0
     )
+    ppb = SEL_PPB if n_packets % SEL_PPB == 0 else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(max(n_packets // SEL_PPB, 1),),
+        grid=(n_packets // ppb,),
         in_specs=[
-            pl.BlockSpec((SEL_PPB, 3, SUB, LANES), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((ppb, 3, SUB, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SEL_PPB, 3, SUB, LANES), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((ppb, 3, SUB, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SEL_PPB, SUB, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((ppb, SUB, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ppb, SUB, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),    # nodes
         ],
         out_specs=[
-            pl.BlockSpec((SEL_PPB, K * SUB, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((ppb, K * SUB, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SEL_PPB, K * SUB, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((ppb, K * SUB, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SEL_PPB, SUB, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((ppb, SUB, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -407,22 +423,22 @@ def select_clusters(o_t, d_t, tm, nodes, interpret: bool = False):
             jax.ShapeDtypeStruct((n_packets, SUB, LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(o_t, d_t, tm, nodes_d)
+    )(o_t, d_t, tm, tlo, nodes_d)
 
 
 # ---------------------------------------------------------------------------
-# Dense round kernel
+# Dense pair-test kernel
 
 
-def _make_round_kernel(C: int, P: int, D: int):
+def _make_dense_kernel(C: int, P: int, D: int):
     import jax.lax as lax
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(cstart_ref, seg_start_ref, rank_base_ref, rays_ref,
-               *rest):
+    def kernel(cstart_ref, seg_start_ref, rank_base_ref, rank_cluster_ref,
+               rays_ref, *rest):
         mot_refs = rest[:D]
         out_ref = rest[D]
+        tb_ref, ib_ref, ub_ref, vb_ref, cov_ref = rest[D + 1:]
         i = pl.program_id(0)
         fbits = lambda w: lax.bitcast_convert_type(w, jnp.float32)
         ibits = lambda w: lax.bitcast_convert_type(w, jnp.int32)
@@ -443,10 +459,11 @@ def _make_round_kernel(C: int, P: int, D: int):
             [dxr, dyr, dzr, jnp.zeros((1, P), jnp.float32)], axis=0
         )
 
-        tb = jnp.full((1, P), jnp.float32(BIG))
-        ib = jnp.full((1, P), -1, jnp.int32)
-        ub = jnp.zeros((1, P), jnp.float32)
-        vb = jnp.zeros((1, P), jnp.float32)
+        tb_ref[...] = jnp.full((1, P), jnp.float32(BIG))
+        ib_ref[...] = jnp.full((1, P), -1, jnp.int32)
+        ub_ref[...] = jnp.zeros((1, P), jnp.float32)
+        vb_ref[...] = jnp.zeros((1, P), jnp.float32)
+        cov_ref[...] = jnp.zeros((1, P), jnp.float32)
 
         n_segs = seg_start_ref.shape[0] - 1
         row0 = i * P
@@ -454,89 +471,102 @@ def _make_round_kernel(C: int, P: int, D: int):
             rank = jnp.minimum(cstart_ref[i] + j, n_segs - 1)
             s0 = seg_start_ref[rank]
             s1 = seg_start_ref[rank + 1]
-            valid = (
+            in_tile = (
                 (cstart_ref[i] + j < n_segs)
                 & (s0 < row0 + P) & (s1 > row0)
-                & (rank_base_ref[rank] >= 0)
             )
-            mot = mot_refs[j][0]                  # (3C, 4)
-            O = jax.lax.dot_general(
-                mot, lhs_o, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                     # (3C, P)
-            Dd = jax.lax.dot_general(
-                mot, lhs_d, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            A, B = O[:C], Dd[:C]
-            Co, Cd = O[C:2 * C], Dd[C:2 * C]
-            Eo, Ed = O[2 * C:], Dd[2 * C:]
-            t = -A / jnp.where(jnp.abs(B) < 1e-12, jnp.float32(1e-12), B)
-            u = Co + t * Cd
-            v = Eo + t * Ed
-            ok = (
-                (t > 1e-5) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                & (jnp.abs(B) >= 1e-12)
-                & (lane_rank == rank) & (t < cap) & valid
-            )
-            tm = jnp.where(ok, t, jnp.float32(BIG))
-            tmin = jnp.min(tm, axis=0, keepdims=True)       # (1, P)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (C, P), 0)
-            rmin = jnp.min(
-                jnp.where(tm <= tmin, rows, jnp.int32(C)), axis=0,
-                keepdims=True,
-            )
-            sel = (rows == rmin) & ok
-            usel = jnp.sum(jnp.where(sel, u, 0.0), axis=0, keepdims=True)
-            vsel = jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
-            better = tmin < tb
-            tb = jnp.where(better, tmin, tb)
-            ib = jnp.where(
-                better & (rmin < C), rank_base_ref[rank] + rmin, ib
-            )
-            ub = jnp.where(better, usel, ub)
-            vb = jnp.where(better, vsel, vb)
+            match = lane_rank == rank
+            # A matched lane is HANDLED even for the dummy run (no
+            # geometry): cov distinguishes "tested or dummy" from
+            # "tile spanned more than D runs" (those rays fall back).
+            @pl.when(in_tile)
+            def _():
+                cov_ref[...] = jnp.where(match, 1.0, cov_ref[...])
 
-        out_ref[0:1] = tb
-        out_ref[1:2] = fbits(ib)
-        out_ref[2:3] = ub
-        out_ref[3:4] = vb
-        out_ref[4:8] = jnp.zeros((4, P), jnp.float32)
+            do_test = in_tile & (rank_base_ref[rank] >= 0)
+
+            @pl.when(do_test)
+            def _():
+                mot = mot_refs[j][0]              # (3C, 4)
+                O = jax.lax.dot_general(
+                    mot, lhs_o, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                 # (3C, P)
+                Dd = jax.lax.dot_general(
+                    mot, lhs_d, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                A, B = O[:C], Dd[:C]
+                Co, Cd = O[C:2 * C], Dd[C:2 * C]
+                Eo, Ed = O[2 * C:], Dd[2 * C:]
+                t = -A / jnp.where(
+                    jnp.abs(B) < 1e-12, jnp.float32(1e-12), B
+                )
+                u = Co + t * Cd
+                v = Eo + t * Ed
+                ok = (
+                    (t > 1e-5) & (u >= 0.0) & (v >= 0.0)
+                    & (u + v <= 1.0) & (jnp.abs(B) >= 1e-12)
+                    & match & (t < cap)
+                )
+                tm = jnp.where(ok, t, jnp.float32(BIG))
+                tmin = jnp.min(tm, axis=0, keepdims=True)   # (1, P)
+                rows = jax.lax.broadcasted_iota(jnp.int32, (C, P), 0)
+                rmin = jnp.min(
+                    jnp.where(tm <= tmin, rows, jnp.int32(C)), axis=0,
+                    keepdims=True,
+                )
+                sel = (rows == rmin) & ok
+                usel = jnp.sum(jnp.where(sel, u, 0.0), axis=0,
+                               keepdims=True)
+                vsel = jnp.sum(jnp.where(sel, v, 0.0), axis=0,
+                               keepdims=True)
+                better = tmin < tb_ref[...]
+                ib_ref[...] = jnp.where(
+                    better & (rmin < C), rank_base_ref[rank] + rmin,
+                    ib_ref[...],
+                )
+                ub_ref[...] = jnp.where(better, usel, ub_ref[...])
+                vb_ref[...] = jnp.where(better, vsel, vb_ref[...])
+                tb_ref[...] = jnp.where(better, tmin, tb_ref[...])
+
+        out_ref[0:1] = tb_ref[...]
+        out_ref[1:2] = fbits(ib_ref[...])
+        out_ref[2:3] = ub_ref[...]
+        out_ref[3:4] = vb_ref[...]
+        out_ref[4:5] = cov_ref[...]
+        out_ref[5:8] = jnp.zeros((3, P), jnp.float32)
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("interpret", "n_cl"))
-def dense_round(rays8, cstart, seg_start, rank_base, rank_cluster, mot,
+def dense_pairs(rays8, cstart, seg_start, rank_base, rank_cluster, mot,
                 n_cl: int, interpret: bool = False):
-    """One binned test round.
+    """Test every pair row against its cluster.
 
-    rays8: (8, N) f32 planes [ox oy oz dx dy dz cap rank(bits)], N a
-    multiple of TILE_P, sorted so that equal ranks are contiguous.
-    cstart: (n_tiles,) i32 first segment rank per tile.
-    seg_start: (n_segs + 1,) i32 row offsets per rank.
-    rank_base: (n_segs + 1,) i32 packed-tri base id per rank (< 0 for
-    the dummy rank).
-    rank_cluster: (n_segs + 1,) i32 cluster id per rank (for MOT DMA).
-    Returns (8, N) f32 [t, tri(bits), u, v, 0...].
+    rays8: (8, M) f32 planes [ox oy oz dx dy dz cap rank(bits)], M a
+    multiple of TILE_P, sorted so equal ranks are contiguous.
+    cstart (n_tiles,), seg_start (n_segs+1,), rank_base / rank_cluster
+    (n_segs+1,): segment tables (rank = dense index over the sorted
+    key runs; rank_base < 0 marks the dummy run).
+    Returns (8, M) f32 [t, tri(bits), u, v, 0...].
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    N = rays8.shape[1]
+    M = rays8.shape[1]
     P, C, D = TILE_P, CLUSTER, DSEG
-    n_tiles = N // P
-    # Append a dummy all-zero cluster for clamped DMA indices.
+    n_tiles = M // P
     mot_d = jnp.concatenate(
         [mot, jnp.zeros((1, 3 * C, 4), jnp.float32)], axis=0
     )
-    ncl_d = n_cl
 
     def mot_spec(j):
         def index_map(i, cstart, seg_start, rank_base, rank_cluster):
             n_segs = seg_start.shape[0] - 1
             rank = jnp.minimum(cstart[i] + j, n_segs - 1)
-            return (jnp.clip(rank_cluster[rank], 0, ncl_d), 0, 0)
+            return (jnp.clip(rank_cluster[rank], 0, n_cl), 0, 0)
 
         return pl.BlockSpec((1, 3 * C, 4), index_map,
                             memory_space=pltpu.VMEM)
@@ -558,15 +588,21 @@ def dense_round(rays8, cstart, seg_start, rank_base, rank_cluster, mot,
                 (0, i),
                 memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[],
+        scratch_shapes=[
+            pltpu.VMEM((1, P), jnp.float32),   # tb
+            pltpu.VMEM((1, P), jnp.int32),     # ib
+            pltpu.VMEM((1, P), jnp.float32),   # ub
+            pltpu.VMEM((1, P), jnp.float32),   # vb
+            pltpu.VMEM((1, P), jnp.float32),   # covered
+        ],
     )
     (out,) = pl.pallas_call(
-        _make_round_kernel(C, P, D),
+        _make_dense_kernel(C, P, D),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20
         ),
-        out_shape=[jax.ShapeDtypeStruct((8, N), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((8, M), jnp.float32)],
         interpret=interpret,
     )(cstart, seg_start, rank_base, rank_cluster, rays8, *([mot_d] * D))
     return out
@@ -576,22 +612,16 @@ def dense_round(rays8, cstart, seg_start, rank_base, rank_cluster, mot,
 # Orchestrator
 
 
-def _coherence_key(o, d, world_lo, world_hi):
-    from tracerboy_tpu.trace.wavefront import _coherence_sort
-
-    return _coherence_sort(o, d, world_lo, world_hi)
-
-
 def binned_closest(scene, origin, direction, t_max,
-                   interpret: bool = False, rounds: int = ROUNDS,
-                   use_fallback: bool = True):
+                   interpret: bool = False, use_fallback: bool = True):
     """Closest-hit over the binned backend.
 
-    origin/direction (N, 3), t_max (N,). Returns (t, tri, u, v) in
+    origin/direction (N, 3), t_max (N,). Returns (t, tri, u, v) with
     PACKED (pk) triangle ids — the packet-kernel id space (miss:
     t = BIG, tri = -1).
     """
     from tracerboy_tpu.trace.pallas_traverse2 import traverse_packets2
+    from tracerboy_tpu.trace.wavefront import _coherence_sort
 
     nodes = scene["bn_nodes"]
     mot = scene["bn_mot"]
@@ -600,9 +630,10 @@ def binned_closest(scene, origin, direction, t_max,
     K = KSEL
 
     N0 = origin.shape[0]
-    # --- coherence sort + pad to the selection packet granularity -------
-    key0 = _coherence_key(
-        origin, direction, scene["world_lo"], scene["world_hi"]
+    # --- coherence sort + pad to the selection packet size --------------
+    key0 = _coherence_sort(
+        origin, direction, scene["world_lo"], scene["world_hi"],
+        t_max=t_max,
     )
     idx = jnp.arange(N0, dtype=jnp.int32)
     (_, sox, soy, soz, sdx, sdy, sdz, stm, sidx) = jax.lax.sort(
@@ -610,7 +641,7 @@ def binned_closest(scene, origin, direction, t_max,
          direction[:, 0], direction[:, 1], direction[:, 2], t_max, idx),
         num_keys=1,
     )
-    pad = (-N0) % (PACKET * SEL_PPB)
+    pad = (-N0) % PACKET
     if pad:
         zf = jnp.zeros((pad,), jnp.float32)
         sox = jnp.concatenate([sox, zf])
@@ -619,7 +650,8 @@ def binned_closest(scene, origin, direction, t_max,
         sdx = jnp.concatenate([sdx, zf + 1.0])
         sdy = jnp.concatenate([sdy, zf])
         sdz = jnp.concatenate([sdz, zf])
-        stm = jnp.concatenate([stm, zf])
+        stm = jnp.concatenate([stm, zf])     # dead padding
+        sidx = jnp.concatenate([sidx, jnp.full((pad,), N0, jnp.int32)])
     N = N0 + pad
     n_packets = N // PACKET
 
@@ -629,140 +661,115 @@ def binned_closest(scene, origin, direction, t_max,
     d_t = jnp.stack([sdx, sdy, sdz], 0).reshape(
         3, n_packets, SUB, LANES).swapaxes(0, 1)
     tm_t = stm.reshape(n_packets, SUB, LANES)
-    slot_t, slot_c, dropped = select_clusters(
-        o_t, d_t, tm_t, nodes, interpret=interpret
+    _, slot_c, dropped = select_clusters(
+        o_t, d_t, tm_t, jnp.zeros_like(tm_t), nodes, K=K,
+        interpret=interpret,
     )
-    slots_t = [
-        slot_t[:, k * SUB:(k + 1) * SUB, :].reshape(N) for k in range(K)
-    ]
     slots_c = [
         slot_c[:, k * SUB:(k + 1) * SUB, :].reshape(N) for k in range(K)
     ]
     dropped = dropped.reshape(N)
 
-    # --- rounds ---------------------------------------------------------
-    st = dict(
-        o=(sox, soy, soz), d=(sdx, sdy, sdz), tmax=stm,
-        tb=jnp.full((N,), jnp.float32(BIG)),
-        ib=jnp.full((N,), -1, jnp.int32),
-        ub=jnp.zeros((N,), jnp.float32),
-        vb=jnp.zeros((N,), jnp.float32),
-        st=slots_t, sc=slots_c, drop=dropped, sidx_pad=jnp.concatenate(
-            [sidx, jnp.full((pad,), N0, jnp.int32)]) if pad else sidx,
+    # --- expand pairs + ONE sort by cluster -----------------------------
+    def rep(x):
+        return jnp.concatenate([x] * K)
+
+    pair_key = jnp.concatenate([
+        jnp.where(c >= 0, c, n_cl).astype(jnp.uint32) for c in slots_c
+    ])
+    M = N * K
+    pair_planes = (
+        rep(sox), rep(soy), rep(soz), rep(sdx), rep(sdy), rep(sdz),
+        rep(stm), rep(sidx),
     )
+    out = jax.lax.sort((pair_key,) + pair_planes, num_keys=1)
+    pkey = out[0].astype(jnp.int32)
+    (pox, poy, poz, pdx, pdy, pdz, ptm, psidx) = out[1:]
 
-    for _ in range(rounds):
-        # pick each ray's nearest untested cluster
-        nt = st["st"][0]
-        nc = st["sc"][0]
-        nk = jnp.zeros((N,), jnp.int32)
-        for j in range(1, K):
-            b = st["st"][j] < nt
-            nt = jnp.where(b, st["st"][j], nt)
-            nc = jnp.where(b, st["sc"][j], nc)
-            nk = jnp.where(b, j, nk)
-        active = (nc >= 0) & (nt < jnp.float32(BIG)) & (st["tb"] > nt)
-        # consume the chosen slot
-        st["st"] = [
-            jnp.where(active & (nk == j), jnp.float32(BIG), st["st"][j])
-            for j in range(K)
-        ]
-        key = jnp.where(active, nc, n_cl).astype(jnp.uint32)
+    # segment tables: rank = dense run index over the sorted keys
+    changed = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (pkey[1:] != pkey[:-1]).astype(jnp.int32)]
+    )
+    rank = jnp.cumsum(changed) - 1
+    probes = jnp.arange(n_cl + 2, dtype=jnp.int32)
+    seg_start = jnp.searchsorted(rank, probes).astype(jnp.int32)
+    rank_cluster = pkey[jnp.clip(seg_start[:-1], 0, M - 1)]
+    rank_base = jnp.where(
+        rank_cluster < n_cl, base[jnp.clip(rank_cluster, 0, n_cl)], -1
+    )
+    cstart = rank[:: TILE_P]
 
-        carry = (
-            key,
-            *st["o"], *st["d"], st["tmax"], st["tb"],
-            st["ib"], st["ub"], st["vb"],
-            *st["st"], *st["sc"], st["drop"], st["sidx_pad"],
-        )
-        out = jax.lax.sort(carry, num_keys=1)
-        key_s = out[0]
-        (sox2, soy2, soz2, sdx2, sdy2, sdz2, tmax2, tb2, ib2, ub2,
-         vb2) = out[1:12]
-        st = dict(
-            o=(sox2, soy2, soz2), d=(sdx2, sdy2, sdz2), tmax=tmax2,
-            tb=tb2, ib=ib2, ub=ub2, vb=vb2,
-            st=list(out[12:12 + K]), sc=list(out[12 + K:12 + 2 * K]),
-            drop=out[12 + 2 * K], sidx_pad=out[13 + 2 * K],
-        )
+    rays8 = jnp.stack([
+        pox, poy, poz, pdx, pdy, pdz, ptm,
+        jax.lax.bitcast_convert_type(rank, jnp.float32),
+    ], axis=0)
+    res = dense_pairs(
+        rays8, cstart, seg_start, rank_base, rank_cluster, mot,
+        n_cl=n_cl, interpret=interpret,
+    )
+    t_p = res[0]
+    i_p = jax.lax.bitcast_convert_type(res[1], jnp.int32)
 
-        # segment tables from the sorted keys
-        ki = key_s.astype(jnp.int32)
-        changed = jnp.concatenate(
-            [jnp.ones((1,), jnp.int32),
-             (ki[1:] != ki[:-1]).astype(jnp.int32)]
-        )
-        rank = jnp.cumsum(changed) - 1                     # (N,)
-        probes = jnp.arange(n_cl + 2, dtype=jnp.int32)
-        seg_start = jnp.searchsorted(rank, probes).astype(jnp.int32)
-        seg_start = seg_start[: n_cl + 2]
-        rank_cluster = ki[jnp.clip(seg_start[:-1], 0, N - 1)]
-        rank_base = jnp.where(
-            rank_cluster < n_cl,
-            base[jnp.clip(rank_cluster, 0, n_cl)], -1,
-        )
-        cstart = rank[:: TILE_P]
+    # --- combine: ONE sort by original ray index (also the unsort) ------
+    _, t_s, i_s, u_s, v_s, cov_s = jax.lax.sort(
+        (psidx, t_p, i_p, res[2], res[3], res[4]), num_keys=1
+    )
+    t_k = t_s.reshape(N, K)        # rows: pairs of original ray n
+    i_k = i_s.reshape(N, K)
+    u_k = u_s.reshape(N, K)
+    v_k = v_s.reshape(N, K)
+    tb = jnp.min(t_k, axis=1)
+    kmin = jnp.argmin(t_k, axis=1)
+    ib = jnp.take_along_axis(i_k, kmin[:, None], axis=1)[:, 0]
+    ub = jnp.take_along_axis(u_k, kmin[:, None], axis=1)[:, 0]
+    vb = jnp.take_along_axis(v_k, kmin[:, None], axis=1)[:, 0]
+    ib = jnp.where(tb < jnp.float32(BIG), ib, -1)
+    # any pair left uncovered (its tile spanned > DSEG runs) poisons
+    # the ray: it must take the fallback.
+    uncov = jnp.min(cov_s.reshape(N, K), axis=1) < 0.5
+    tb = tb[:N0]
+    ib = ib[:N0]
+    ub = ub[:N0]
+    vb = vb[:N0]
+    uncov = uncov[:N0]
 
-        cap = jnp.minimum(tmax2, tb2)
-        rays8 = jnp.stack([
-            sox2, soy2, soz2, sdx2, sdy2, sdz2, cap,
-            jax.lax.bitcast_convert_type(rank, jnp.float32),
-        ], axis=0)
-        res = dense_round(
-            rays8, cstart, seg_start, rank_base, rank_cluster, mot,
-            n_cl=n_cl, interpret=interpret,
-        )
-        t_r = res[0]
-        i_r = jax.lax.bitcast_convert_type(res[1], jnp.int32)
-        better = (i_r >= 0) & (t_r < st["tb"])
-        st["tb"] = jnp.where(better, t_r, st["tb"])
-        st["ib"] = jnp.where(better, i_r, st["ib"])
-        st["ub"] = jnp.where(better, res[2], st["ub"])
-        st["vb"] = jnp.where(better, res[3], st["vb"])
+    # dropped_min back to original order (carried through a small sort)
+    _, drop_o = jax.lax.sort((sidx, dropped), num_keys=1)
+    drop_o = drop_o[:N0]
 
-    # --- resolution + fallback -----------------------------------------
-    untested = st["drop"]
-    for j in range(K):
-        untested = jnp.minimum(untested, st["st"][j])
-    done = (st["tb"] <= untested) | (untested >= jnp.float32(BIG))
-
-    sox, soy, soz = st["o"]
-    sdx, sdy, sdz = st["d"]
+    # --- fallback for rays whose K-nearest set was insufficient ---------
     if use_fallback:
-        fb_tmax = jnp.where(
-            done, 0.0, jnp.minimum(st["tmax"], st["tb"])
+        unresolved = ((tb > drop_o) | uncov) & (t_max > 0.0)
+        fb_tmax = jnp.where(unresolved, jnp.minimum(t_max, tb), 0.0)
+        packed = dict(nodes=scene["pk_nodes"],
+                      tris_bw=scene["pk_tris_bw"])
+        table_bytes = (packed["tris_bw"].shape[0]
+                       + packed["nodes"].shape[0]) * 512
+        key_fb = _coherence_sort(
+            origin, direction, scene["world_lo"], scene["world_hi"],
+            t_max=fb_tmax,
         )
-        o_rows = jnp.stack([sox, soy, soz], axis=1)
-        d_rows = jnp.stack([sdx, sdy, sdz], axis=1)
-        # re-sort so dead (resolved) rays collapse into dead packets
-        key_fb = _coherence_key(
-            o_rows, d_rows, scene["world_lo"], scene["world_hi"]
-        ) | ((fb_tmax <= 0.0).astype(jnp.uint32) << 27)
-        fidx = jnp.arange(N, dtype=jnp.int32)
+        fidx = jnp.arange(N0, dtype=jnp.int32)
         (_, fox, foy, foz, fdx, fdy, fdz, ftm, ffi) = jax.lax.sort(
-            (key_fb, sox, soy, soz, sdx, sdy, sdz, fb_tmax, fidx),
+            (key_fb, origin[:, 0], origin[:, 1], origin[:, 2],
+             direction[:, 0], direction[:, 1], direction[:, 2],
+             fb_tmax, fidx),
             num_keys=1,
         )
-        packed = dict(nodes=scene["pk_nodes"], tris=scene["pk_tris"])
-        table_bytes = (packed["tris"].shape[0]
-                       + packed["nodes"].shape[0]) * 512
         t2, tri2, u2, v2 = traverse_packets2(
             jnp.stack([fox, foy, foz], 1), jnp.stack([fdx, fdy, fdz], 1),
             ftm, packed, tris_in_hbm=table_bytes > 88 * 2**20,
             interpret=interpret,
         )
         _, t2, tri2, u2, v2 = jax.lax.sort(
-            (ffi, t2[:N], tri2[:N], u2[:N], v2[:N]), num_keys=1
+            (ffi, t2[:N0], tri2[:N0], u2[:N0], v2[:N0]), num_keys=1
         )
-        closer = (tri2 >= 0) & (t2 < st["tb"])
-        st["tb"] = jnp.where(closer, t2, st["tb"])
-        st["ib"] = jnp.where(closer, tri2, st["ib"])
-        st["ub"] = jnp.where(closer, u2, st["ub"])
-        st["vb"] = jnp.where(closer, v2, st["vb"])
+        closer = (tri2 >= 0) & (t2 < tb)
+        tb = jnp.where(closer, t2, tb)
+        ib = jnp.where(closer, tri2, ib)
+        ub = jnp.where(closer, u2, ub)
+        vb = jnp.where(closer, v2, vb)
 
-    # --- unsort to caller order ----------------------------------------
-    tb = jnp.where(st["ib"] >= 0, st["tb"], jnp.float32(BIG))
-    _, t_f, tri_f, u_f, v_f = jax.lax.sort(
-        (st["sidx_pad"], tb, st["ib"], st["ub"], st["vb"]), num_keys=1
-    )
-    return t_f[:N0], tri_f[:N0], u_f[:N0], v_f[:N0]
+    tb = jnp.where(ib >= 0, tb, jnp.float32(BIG))
+    return tb, ib, ub, vb

@@ -94,16 +94,30 @@ def pack_bvh(bvh: WideBVH, tri_v0, tri_v1, tri_v2):
 
     order = np.asarray(bvh.tri_order)          # (C*LEAF,)
     C = bvh.num_clusters
-    tri = np.concatenate(
-        [np.asarray(tri_v0)[order], np.asarray(tri_v1)[order],
-         np.asarray(tri_v2)[order]], axis=1,
-    ).astype(np.float32)                        # (C*LEAF, 9)
+    w0 = np.asarray(tri_v0)[order]
+    w1 = np.asarray(tri_v1)[order]
+    w2 = np.asarray(tri_v2)[order]
+    tri = np.concatenate([w0, w1, w2], axis=1).astype(np.float32)
     tri_rows = np.zeros((C, 128), np.float32)
     tri_rows[:, : LEAF * 9] = tri.reshape(C, LEAF * 9)
+
+    # Baldwin-Weber rows for the v2 kernels' drain phase: 12 floats per
+    # triangle ([n|-d],[g1|h1],[g2|h2]; see trace/binned._bw_rows) — the
+    # precomputed-transform test costs ~36 VPU ops vs Moller-Trumbore's
+    # ~58 in the packet drain, which is ~70% of kernel time.
+    from tracerboy_tpu.trace.binned import _bw_rows
+
+    bw = _bw_rows(
+        w0.astype(np.float64), w1.astype(np.float64),
+        w2.astype(np.float64),
+    )                                           # (C*LEAF, 3, 4)
+    bw_rows = np.zeros((C, 128), np.float32)
+    bw_rows[:, : LEAF * 12] = bw.reshape(C, LEAF * 12)
 
     return dict(
         nodes=jnp.asarray(rows),
         tris=jnp.asarray(tri_rows),
+        tris_bw=jnp.asarray(bw_rows),
         tri_map=jnp.asarray(order.astype(np.int32)),
     )
 

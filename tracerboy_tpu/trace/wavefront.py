@@ -123,13 +123,14 @@ def _pallas_sorted(scene, origin, direction, t_max, shadow: bool,
     d_s = jnp.stack([sdx, sdy, sdz], axis=1)
 
     prefix = "pk_sh_" if shadow else "pk_"
-    packed = dict(nodes=scene[prefix + "nodes"], tris=scene[prefix + "tris"])
+    packed = dict(nodes=scene[prefix + "nodes"],
+                  tris_bw=scene[prefix + "tris_bw"])
     # Static scene fact: stream leaf clusters from HBM (DMA started at
     # enqueue time, waited at drain) only when nodes + clusters would
     # not fit the kernel's 100 MB scoped-VMEM budget (with ~12 MB of
     # headroom for ray blocks + scratch). Measured on vw-van (89 MB of
     # tables): VMEM-resident beats the DMA ring by 12-38%.
-    table_bytes = (packed["tris"].shape[0]
+    table_bytes = (packed["tris_bw"].shape[0]
                    + packed["nodes"].shape[0]) * 512
     tris_in_hbm = table_bytes > 88 * 2**20
     return o_s, d_s, tmax_s, packed, tris_in_hbm, sidx, prefix
@@ -218,8 +219,15 @@ def _alpha_at_hit(scene, tri, u, v, attr_key="tri_attr_rows"):
     return jnp.where((tri >= 0) & (atex >= 0), a, 1.0)
 
 
-def _closest_once(scene, o_v3, d_v3, t_max, cfg, shadow=False):
-    """One closest-hit traversal on the selected backend (flat outputs)."""
+def _closest_once(scene, o_v3, d_v3, t_max, cfg, shadow=False,
+                  primary=False):
+    """One closest-hit traversal on the selected backend (flat outputs).
+
+    On the pallas backend, coherent primary waves take the packet
+    kernel (~400 Mrays/s on coherent sets) while bounce waves take the
+    binned backend (trace/binned.py), which sidesteps the packet
+    kernel's ~34x incoherent-divergence tax by sorting rays to their
+    clusters and testing dense MXU tiles."""
     from tracerboy_tpu.core import vec3 as v3
     from tracerboy_tpu.trace.intersect import brute_force_closest_soa
 
@@ -229,10 +237,17 @@ def _closest_once(scene, o_v3, d_v3, t_max, cfg, shadow=False):
         )
         cost = jnp.full_like(t_max, float(scene["tri9"].shape[0]))
     elif cfg.traversal == "pallas":
-        t, tri, u, v = _pallas_closest(
-            scene, v3.to_rows(o_v3), v3.to_rows(d_v3), t_max, shadow=shadow,
-            compact=cfg.compact_dead_rays,
-        )
+        if cfg.binned_bounces and not primary and not shadow:
+            from tracerboy_tpu.trace.binned import binned_closest
+
+            t, tri, u, v = binned_closest(
+                scene, v3.to_rows(o_v3), v3.to_rows(d_v3), t_max
+            )
+        else:
+            t, tri, u, v = _pallas_closest(
+                scene, v3.to_rows(o_v3), v3.to_rows(d_v3), t_max,
+                shadow=shadow, compact=cfg.compact_dead_rays,
+            )
         cost = jnp.zeros_like(t_max)
     else:
         t, tri, u, v, cost = traverse_wide(
@@ -244,7 +259,7 @@ def _closest_once(scene, o_v3, d_v3, t_max, cfg, shadow=False):
     return t, tri, u, v, cost
 
 
-def _closest_dispatch(scene, o_v3, d_v3, t_max, cfg):
+def _closest_dispatch(scene, o_v3, d_v3, t_max, cfg, primary=False):
     """Closest-hit with alpha-tested transparency.
 
     TPU-native any-hit: instead of an in-traversal callback (the
@@ -255,7 +270,9 @@ def _closest_dispatch(scene, o_v3, d_v3, t_max, cfg):
     """
     from tracerboy_tpu.core import vec3 as v3
 
-    t, tri, u, v, cost = _closest_once(scene, o_v3, d_v3, t_max, cfg)
+    t, tri, u, v, cost = _closest_once(
+        scene, o_v3, d_v3, t_max, cfg, primary=primary
+    )
     if not cfg.has_alpha:
         return t, tri, u, v, cost
     attr_key = ("pk_attr_rows" if cfg.traversal == "pallas"
@@ -394,6 +411,11 @@ class WaveConfig:
     #  "pallas" — packet kernel over the quantized wide BVH (VMEM-resident
     #             scenes); bounce rays are sorted into coherent packets
     traversal: str = "jnp"
+    # On the pallas backend, route non-primary closest-hit waves through
+    # the binned backend (trace/binned.py): sort rays to their clusters,
+    # dense MXU tiles — removes the packet kernel's incoherent-ray
+    # divergence tax. Requires bn_* tables in the scene pytree.
+    binned_bounces: bool = False
 
     @property
     def use_brute_force(self):
@@ -558,7 +580,13 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
 
             return _take_cols(scene["tri_attr_t"], tric)
         n_rows = 19 if cfg.has_normal_maps else 16
-        rows_t = scene[attr_key][tric].T             # (19, N)
+        rows = scene[attr_key][tric]                 # (N, 19)
+        # Keep the transpose OUT of the gather fusion: fused together,
+        # XLA emits a strided-read gather that costs 4 ms/bounce
+        # (measured); separated, the gather is 0.43 ms and the
+        # transpose ~0.3 ms.
+        rows = jax.lax.optimization_barrier(rows)
+        rows_t = rows.T                              # (19, N)
         return tuple(rows_t[j] for j in range(n_rows))
 
     state = dict(
@@ -623,7 +651,8 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         # --- traversal (+ alpha-tested transparency re-fire) -------------
         t_max = jnp.where(alive, BIG, 0.0)
         t, tri, u, v, trav_cost = _closest_dispatch(
-            scene, s["origin"], s["direction"], t_max, cfg
+            scene, s["origin"], s["direction"], t_max, cfg,
+            primary=(isinstance(i, int) and i == 0),
         )
 
         # --- heterogeneous volume: delta-tracked medium interaction -----
@@ -1032,18 +1061,27 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         s["live_end"] = jnp.sum(s["alive"].astype(jnp.float32))
         return s
 
-    state = jax.lax.fori_loop(0, cfg.max_bounces, bounce, state)
+    # Bounce 0 is PEELED out of the fori_loop: its i is a python int, so
+    # the backend dispatch can statically route the coherent primary
+    # wave to the packet kernel and the fori-looped bounces to the
+    # binned backend (and i==0-only code folds away inside the loop).
+    if cfg.max_bounces > 0:
+        state = bounce(0, state)
+    if cfg.max_bounces > 1:
+        state = jax.lax.fori_loop(1, cfg.max_bounces, bounce, state)
 
     radiance = state["radiance"]
     if cfg.has_env:
         # Deferred environment fetch: one quad-row gather for the whole
         # wave. env_throughput is zero for lanes that never missed.
+        missed = v3.any_gt(state["env_throughput"], 0.0)
         if "env_quad" in scene:
             from tracerboy_tpu.shade.env import sample_environment_quad_soa
 
             env = sample_environment_quad_soa(
                 state["direction"], scene["env_quad"], env_h, env_w,
                 scene["env_transform"], scene["env_color_scale"],
+                gather_mask=missed,
             )
         else:
             env = sample_environment_soa(
