@@ -3,9 +3,11 @@
 Prints ONE JSON line:
   {"metric", "value", "unit", "vs_baseline", "configs": {...}}
 
-- value/metric: the headline ray throughput (cornell-box 512x512 full
-  wavefront — 6 bounces, NEE + shadow rays, russian roulette, blue
-  noise) vs the 100 Mrays/s/chip target.
+- value/metric: the headline ray throughput — the GEOMEAN of the
+  BVH-scene full wavefronts (teapot / dragon / vw-van, the scenes
+  BASELINE configs 2-4 name) vs the 100 Mrays/s/chip target. The
+  36-triangle cornell brute-force config is reported as a secondary
+  number only (gating on it would overstate traversal).
 - configs: per-BASELINE-config measurements:
     mrays/<scene>      full-wavefront Mrays/s on that scene's backend
     psnr35/<scene>     seconds of rendering to reach PSNR 35 dB vs the
@@ -101,6 +103,10 @@ def _throughput(step, scene, params, pixel_ids, n_runs):
 
 
 def bench_headline(results, n_runs=100):
+    """Secondary config: cornell on the brute backend (software-RT
+    parity, BASELINE config 1). The HEADLINE comes from the BVH scenes
+    (bench_config_waves) — gating on a 36-triangle brute-force config
+    would overstate the traversal story (round-2 verdict)."""
     step, scene, params, pixel_ids, _ = _wave_step(
         SCENES["cornell"], (512, 512), traversal="brute",
     )
@@ -111,7 +117,9 @@ def bench_headline(results, n_runs=100):
 
 def bench_config_waves(results, n_runs=6):
     """BASELINE configs 2-4: full-wavefront throughput per scene on the
-    production (pallas) backend."""
+    production (pallas) backend. Returns the geomean — the HEADLINE
+    number (these are the scenes the 100 Mrays/s/chip target is about)."""
+    vals = []
     for name, film in (("teapot", (640, 368)), ("dragon", (640, 368)),
                        ("vw-van", (512, 320))):
         try:
@@ -120,8 +128,14 @@ def bench_config_waves(results, n_runs=6):
             )
             mrays, rpw = _throughput(step, scene, params, pixel_ids, n_runs)
             results[f"mrays/{name}-{r.traversal}"] = round(mrays, 2)
+            vals.append(mrays)
         except Exception as e:  # missing assets etc.
             results[f"mrays/{name}"] = f"error: {type(e).__name__}: {e}"
+    if not vals:
+        return 0.0
+    import math
+
+    return math.exp(sum(math.log(max(v, 1e-9)) for v in vals) / len(vals))
 
 
 def bench_realtime_fps(results, frames=60, warmup=20):
@@ -249,10 +263,11 @@ def main():
     _setup_jax()
     results = {}
 
-    headline = bench_headline(results, n_runs=args.runs)
+    bench_headline(results, n_runs=args.runs)
 
+    headline = 0.0
     if "configs" not in skip:
-        bench_config_waves(results)
+        headline = bench_config_waves(results)
     if "realtime" not in skip:
         try:
             bench_realtime_fps(results)
@@ -280,8 +295,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "Mrays/s/chip (cornell-box 512x512 full wavefront:"
-                          " 6 bounces, NEE+shadows, RR, blue noise)",
+                "metric": "Mrays/s/chip, geomean of the BVH-scene full "
+                          "wavefronts (teapot/dragon/vw-van, 6 bounces, "
+                          "NEE+shadows, RR, blue noise; BASELINE configs"
+                          " 2-4)",
                 "value": round(headline, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(headline / 100.0, 3),

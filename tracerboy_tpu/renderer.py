@@ -240,12 +240,27 @@ class Renderer:
                     self.compiled.materials["normal_tex"]) >= 0).any()
             ),
             has_volume=self.compiled.has_volume,
+            want_heatmap=(s.output_type == OutputType.HEATMAP),
             traversal=self.traversal,
-            binned_bounces=(
-                self.traversal == "pallas"
-                and "bn_nodes" in self.scene_pytree
-                and os.environ.get("TB_BINNED", "1") != "0"
-            ),
+            binned_bounces=self._use_binned(),
+        )
+
+    def _use_binned(self) -> bool:
+        """Bounce-wave backend policy, from measured per-bounce costs
+        (round 3, teapot/vw-van): the binned backend's cost is roughly
+        geometry-independent (~capacity-bound sorts + dense MXU tiles),
+        while the packet kernel's grows with incoherent divergence. On
+        teapot-scale scenes the packet kernel wins every bounce; on
+        large interior scenes (vw-van: 0.68 Mrays/s full-wave on
+        packets) the binned path wins. TB_BINNED=1/0 forces it."""
+        forced = os.environ.get("TB_BINNED")
+        if forced in ("0", "1"):
+            return (forced == "1"
+                    and "bn_nodes" in self.scene_pytree)
+        return (
+            self.traversal == "pallas"
+            and "bn_nodes" in self.scene_pytree
+            and self.compiled.tri_v0.shape[0] >= 300_000
         )
 
     def frame_params(self, fixed_offset=None) -> dict:

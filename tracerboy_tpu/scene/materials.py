@@ -193,6 +193,29 @@ def convert_material(
         # perfect-specular threshold (kernel.glsl:196-199).
         m.roughness = max(mat_ir.uroughness, mat_ir.roughness)
         m.flags |= SUBSURFACE_SCATTER_FLAG
+    elif t == "subsurface":
+        # pbrt SubsurfaceMaterial: IOR = eta, scattering = 1/mfp, SSS
+        # flag — the mapping of the reference's pSubsurfaceMaterial
+        # branch (TracerBoy.cpp:454-471; its body is compiled out behind
+        # HANDLE_FAILURE/#if 0 — the intended conversion is implemented
+        # here, so subsurface scenes no longer get the brown fallback).
+        if mat_ir.map_kd:
+            m.albedo_tex = texture_allocator(mat_ir.map_kd, gamma=True)
+        m.ior = mat_ir.index          # parsed "eta"
+        m.roughness = mat_ir.uroughness
+        m.absorption = np.zeros(3, np.float32)
+        mfp = _v3(getattr(mat_ir, "mfp", None), (1.0, 1.0, 1.0))
+        m.scattering = (1.0 / np.maximum(mfp, 1e-6)).astype(np.float32)
+        # "Disabling specular because it currently over-darkens"
+        m.flags |= SUBSURFACE_SCATTER_FLAG | NO_SPECULAR_FLAG
+    elif t == "hair":
+        # pbrt HairMaterial: the shading kernel treats HAIR_FLAG like
+        # the metallic lobe (kernel.glsl:188 IsMetallic). Approximate
+        # the fiber color from the absorption coefficient.
+        sig = _v3(getattr(mat_ir, "sigma_a", None), (0.6, 0.9, 1.3))
+        m.albedo = np.exp(-np.asarray(sig, np.float32) * 0.8)
+        m.roughness = max(mat_ir.roughness, 0.3)
+        m.flags |= HAIR_FLAG
     elif t == "fourier":
         m.albedo = np.full(3, 0.6, np.float32)
         m.roughness = 0.2

@@ -498,6 +498,9 @@ def _make_material(name, mtype, params, scene) -> MaterialIR:
         m.index = float(np.mean(eta))
     m.opacity = _vec3(params, "opacity", [1.0, 1.0, 1.0])
     m.sigma = float(_scalar(params, "sigma", 0.0))
+    # subsurface / hair parameters
+    m.mfp = _vec3(params, "mfp", [1.0, 1.0, 1.0])
+    m.sigma_a = _vec3(params, "sigma_a", [0.6, 0.9, 1.3])
     # disney parameters
     m.color = _vec3(params, "color", m.kd)
     m.metallic = float(_scalar(params, "metallic", 0.0))

@@ -75,6 +75,10 @@ class MaterialIR:
     material0: str | None = None
     material1: str | None = None
     amount: float = 0.5
+    # subsurface (mean free path; scattering = 1/mfp at conversion)
+    mfp: np.ndarray | None = None
+    # hair (fiber absorption)
+    sigma_a: np.ndarray | None = None
 
 
 @dataclass

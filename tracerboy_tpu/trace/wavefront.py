@@ -137,7 +137,7 @@ def _pallas_sorted(scene, origin, direction, t_max, shadow: bool,
 
 
 def _pallas_closest(scene, origin, direction, t_max, shadow: bool,
-                    compact: bool = True):
+                    compact: bool = True, want_stats: bool = False):
     """Packet traversal (v2 kernel) with coherence sorting + padding.
 
     Returns PACKED-order triangle ids: all downstream per-hit fetches go
@@ -145,16 +145,33 @@ def _pallas_closest(scene, origin, direction, t_max, shadow: bool,
     pk_sh_attr_rows), which removes the packed->scene remap — a
     single-plane gather that cost 1.75 ms per bounce at 245k rays
     (measured round 3; single-plane gathers run ~100x slower than
-    wide-row gathers on TPU)."""
-    from tracerboy_tpu.trace.pallas_traverse2 import traverse_packets2
+    wide-row gathers on TPU).
+
+    want_stats=True additionally returns a per-ray traversal-cost plane
+    (node pops + leaf clusters of the ray's packet — the packet-shared
+    analog of the reference's per-ray box/tri counters,
+    TraverseFunction.hlsli:46-47) for the heatmap AOV."""
+    from tracerboy_tpu.trace.pallas_traverse2 import (
+        PACKET as PK_PACKET,
+        traverse_packets2,
+    )
 
     o_s, d_s, tmax_p, packed, tris_in_hbm, sidx, prefix = _pallas_sorted(
         scene, origin, direction, t_max, shadow, compact=compact
     )
     N = sidx.shape[0]
-    t, tri, u, v = traverse_packets2(
-        o_s, d_s, tmax_p, packed, tris_in_hbm=tris_in_hbm
+    out = traverse_packets2(
+        o_s, d_s, tmax_p, packed, tris_in_hbm=tris_in_hbm,
+        stats=want_stats,
     )
+    if want_stats:
+        t, tri, u, v, st = out
+        cost = jnp.repeat(st[:, 0] + st[:, 1], PK_PACKET)
+        _, t, tri, u, v, cost = jax.lax.sort(
+            (sidx, t[:N], tri[:N], u[:N], v[:N], cost[:N]), num_keys=1
+        )
+        return t, tri, u, v, cost
+    t, tri, u, v = out
     # Unsort by carrying the outputs through a sort on the saved index.
     _, t, tri, u, v = jax.lax.sort(
         (sidx, t[:N], tri[:N], u[:N], v[:N]), num_keys=1
@@ -243,12 +260,24 @@ def _closest_once(scene, o_v3, d_v3, t_max, cfg, shadow=False,
             t, tri, u, v = binned_closest(
                 scene, v3.to_rows(o_v3), v3.to_rows(d_v3), t_max
             )
+            cost = jnp.zeros_like(t_max)
+        elif cfg.want_heatmap and primary:
+            # Heatmap AOV: the kernel's stats mode counts node pops +
+            # leaf clusters per packet (the packet-shared form of
+            # TraverseFunction.hlsli:46-47's per-ray counters, shown by
+            # PostProcessCS.hlsl:133-146). Only the primary dispatch
+            # feeds the AOV, so bounce waves never pay for counters.
+            t, tri, u, v, cost = _pallas_closest(
+                scene, v3.to_rows(o_v3), v3.to_rows(d_v3), t_max,
+                shadow=shadow, compact=cfg.compact_dead_rays,
+                want_stats=True,
+            )
         else:
             t, tri, u, v = _pallas_closest(
                 scene, v3.to_rows(o_v3), v3.to_rows(d_v3), t_max,
                 shadow=shadow, compact=cfg.compact_dead_rays,
             )
-        cost = jnp.zeros_like(t_max)
+            cost = jnp.zeros_like(t_max)
     else:
         t, tri, u, v, cost = traverse_wide(
             v3.to_rows(o_v3), v3.to_rows(d_v3), t_max,
@@ -389,6 +418,10 @@ class WaveConfig:
     alpha_rounds: int = 3
     # Normal mapping (GetDetailNormal, RayGenCommon.h:273-295).
     has_normal_maps: bool = False
+    # Traversal-cost heatmap AOV: on the pallas backend this turns on
+    # the v2 kernel's stats counters for the primary dispatch
+    # (TraverseFunction.hlsli:46-47 -> PostProcessCS.hlsl:133-146).
+    want_heatmap: bool = False
     # Heterogeneous volume (scene-level density grid; the reference's
     # openvdb path, TracerBoy.cpp:1096-1184, plus the shading it lacks).
     has_volume: bool = False
