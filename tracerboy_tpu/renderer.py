@@ -105,6 +105,8 @@ class Renderer:
         forced = os.environ.get("TB_TRAVERSAL")
         if forced in ("brute", "pallas", "jnp"):
             return forced
+        if scene.has_instances:
+            return "pallas"   # TLAS/BLAS path needs the packed BVHs
         T = scene.tri_v0.shape[0]
         if T <= 2048:
             return "brute"
@@ -240,6 +242,7 @@ class Renderer:
                     self.compiled.materials["normal_tex"]) >= 0).any()
             ),
             has_volume=self.compiled.has_volume,
+            has_instances=self.compiled.has_instances,
             want_heatmap=(s.output_type == OutputType.HEATMAP),
             traversal=self.traversal,
             binned_bounces=self._use_binned(),

@@ -95,6 +95,17 @@ class CompiledScene:
     vol_sigma_a: np.ndarray = None   # (3,)
     vol_sigma_s: np.ndarray = None   # (3,)
     vol_g: float = 0.0
+    # TLAS/BLAS instancing (trace/instanced.py): when set, instanced
+    # objects are NOT flattened — device memory scales with unique
+    # geometry (TracerBoy.cpp:1305-1410 two-level build).
+    inst_tables: dict = None         # inst_obj/inst_inv/inst_lo/inst_hi
+    inst_objects: list = None        # [(packed dict, attr_rows np)] per obj
+    inst_world_lo: np.ndarray = None
+    inst_world_hi: np.ndarray = None
+
+    @property
+    def has_instances(self) -> bool:
+        return self.inst_tables is not None
 
     @property
     def has_volume(self) -> bool:
@@ -149,6 +160,36 @@ class CompiledScene:
         extra = {}
         if pack_pallas:
             extra = self.pallas_pack(tri_attr_rows)
+        if self.has_instances:
+            if "pk_attr_rows" not in extra:
+                raise ValueError(
+                    "TLAS instancing requires the pallas packing"
+                )
+            # Concatenate the per-object (packed-order) attribute rows
+            # after the flat scene's: one combined id space for per-hit
+            # fetches (trace/instanced.py returns offset ids).
+            flat_rows = int(extra["pk_attr_rows"].shape[0])
+            inst_attrs = np.concatenate(
+                [a for _, a in self.inst_objects]
+            )
+            extra["pk_attr_rows"] = jnp.concatenate(
+                [extra["pk_attr_rows"], jnp.asarray(inst_attrs)]
+            )
+            extra.update(
+                {k: jnp.asarray(v) for k, v in self.inst_tables.items()}
+            )
+            objs = []
+            base = flat_rows
+            for packed_np, attrs in self.inst_objects:
+                objs.append(dict(
+                    packed=dict(
+                        nodes=jnp.asarray(packed_np["nodes"]),
+                        tris_bw=jnp.asarray(packed_np["tris_bw"]),
+                    ),
+                    base=jnp.int32(base),
+                ))
+                base += attrs.shape[0]
+            extra["inst_objs"] = objs
 
         env_flat = self.env_map.reshape(-1, 3).astype(np.float32)
 
@@ -206,16 +247,18 @@ class CompiledScene:
             env_b=j(env_flat[:, 2]),
             blue0_t=j(self.blue_noise0.reshape(-1, 4).T.copy()),
             blue1_t=j(self.blue_noise1.reshape(-1, 4).T.copy()),
-            world_lo=j(
+            world_lo=j(np.minimum(
                 np.minimum(
                     np.minimum(self.tri_v0, self.tri_v1), self.tri_v2
-                ).min(axis=0)
-            ),
-            world_hi=j(
+                ).min(axis=0),
+                self.inst_world_lo if self.has_instances else np.inf,
+            ).astype(np.float32)),
+            world_hi=j(np.maximum(
                 np.maximum(
                     np.maximum(self.tri_v0, self.tri_v1), self.tri_v2
-                ).max(axis=0)
-            ),
+                ).max(axis=0),
+                self.inst_world_hi if self.has_instances else -np.inf,
+            ).astype(np.float32)),
             tri_v0=j(self.tri_v0), tri_v1=j(self.tri_v1), tri_v2=j(self.tri_v2),
             tri_n0=j(self.tri_n0), tri_n1=j(self.tri_n1), tri_n2=j(self.tri_n2),
             tri_uv0=j(self.tri_uv0), tri_uv1=j(self.tri_uv1),
@@ -326,91 +369,238 @@ def _sphere_mesh(radius: float, lat: int = 16, lon: int = 32):
     return pts * radius, np.asarray(idx, np.int32), pts.copy()
 
 
+def _shape_to_tris(shape, scene, table, tex_alloc, material_lookup):
+    """One shape -> (tri_pos (t,3,3), tri_nrm, tri_uv, mat_id, emission)
+    in the shape's transform frame (world for flattened shapes, object
+    space for TLAS objects). Returns None for unsupported shapes."""
+    emission = getattr(shape, "emission", None)
+    mat_ir = scene.materials.get(shape.material)
+    alpha_tex = getattr(shape, "alpha_texture", None)
+    mat_id = convert_material(
+        mat_ir, emission if emission is not None else (0, 0, 0),
+        table, tex_alloc, material_lookup, alpha_texture=alpha_tex,
+    )
+    if isinstance(shape, ir.TriangleMeshIR):
+        pos, nrm = _transform_mesh(shape)
+        idx, uv = shape.indices, shape.uvs
+    elif isinstance(shape, ir.SphereIR):
+        pos, idx, nrm0 = _sphere_mesh(shape.radius)
+        M = shape.transform
+        pos = (pos @ M[:3, :3].T + M[:3, 3]).astype(np.float32)
+        it = np.linalg.inv(M[:3, :3]).T
+        nrm = nrm0 @ it.T
+        nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-12)
+        nrm = nrm.astype(np.float32)
+        uv = None
+    elif isinstance(shape, ir.CurveIR):
+        pos, idx, nrm0 = tessellate_curve(
+            shape.control_points, shape.width0, shape.width1
+        )
+        M = shape.transform
+        pos = (pos @ M[:3, :3].T + M[:3, 3]).astype(np.float32)
+        it = np.linalg.inv(M[:3, :3]).T
+        nrm = nrm0 @ it.T
+        nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-12)
+        nrm = nrm.astype(np.float32)
+        uv = None
+    else:
+        return None
+    tri_pos = pos[idx]
+    if nrm is not None and len(nrm) == len(pos):
+        tri_nrm = nrm[idx]
+    else:
+        e1 = tri_pos[:, 1] - tri_pos[:, 0]
+        e2 = tri_pos[:, 2] - tri_pos[:, 0]
+        fn = np.cross(e1, e2)
+        fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12)
+        tri_nrm = np.repeat(fn[:, None, :], 3, axis=1)
+    if shape.reverse_orientation:
+        tri_nrm = -tri_nrm
+    if uv is not None:
+        tri_uv = uv[idx]
+    else:
+        tri_uv = np.zeros((len(idx), 3, 2), np.float32)
+    return (tri_pos.astype(np.float32), tri_nrm.astype(np.float32),
+            tri_uv.astype(np.float32), mat_id, emission)
+
+
+def _attr_rows_np(tri_pos, tri_nrm, tri_uv, tri_mat):
+    """(T, 19) attribute rows: normals(9) uvs(6) mat(1) tangent(3) —
+    the same layout as CompiledScene.as_pytree's tri_attr tables."""
+    v0, v1, v2 = tri_pos[:, 0], tri_pos[:, 1], tri_pos[:, 2]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    d1 = tri_uv[:, 1] - tri_uv[:, 0]
+    d2 = tri_uv[:, 2] - tri_uv[:, 0]
+    det = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+    bad = np.abs(det) < 1e-12
+    tan = e1 * d2[:, 1:2] - e2 * d1[:, 1:2]
+    tan = np.where(bad[:, None], e1, tan / np.where(bad, 1.0, det)[:, None])
+    tan = tan / np.maximum(np.linalg.norm(tan, axis=1, keepdims=True), 1e-12)
+    return np.concatenate(
+        [
+            tri_nrm[:, 0], tri_nrm[:, 1], tri_nrm[:, 2],
+            tri_uv.reshape(-1, 6),
+            tri_mat[:, None].astype(np.float32),
+            tan,
+        ],
+        axis=1,
+    ).astype(np.float32)
+
+
 def compile_scene(
     scene: ir.SceneIR,
     leaf_size: int = LEAF_SIZE,
     film_size: tuple | None = None,
+    instancing: str = "auto",
 ) -> CompiledScene:
+    """instancing: "flatten" composes every instance into the flat
+    triangle soup (the round-1/2 behavior); "tlas" keeps one BLAS per
+    unique object + a per-instance transform table
+    (TracerBoy.cpp:1305-1410); "auto" picks tlas at >= 16 instances."""
     table = MaterialTable()
     tex_alloc = TextureAllocator(scene.base_dir, scene.textures)
 
     def material_lookup(name):
         return scene.materials.get(name)
 
+    use_tlas = instancing == "tlas" or (
+        instancing == "auto" and len(scene.instances) >= 16
+    )
+
     # --- gather world-space triangle soup -------------------------------
     v_chunks, n_chunks, uv_chunks, mat_chunks = [], [], [], []
     light_records = []
 
-    def add_mesh(pos, idx, nrm, uv, mat_id, emission, flip):
-        tri_pos = pos[idx]                       # (t, 3, 3)
-        if nrm is not None:
-            tri_nrm = nrm[idx]
-        else:
-            e1 = tri_pos[:, 1] - tri_pos[:, 0]
-            e2 = tri_pos[:, 2] - tri_pos[:, 0]
-            fn = np.cross(e1, e2)
-            fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12)
-            tri_nrm = np.repeat(fn[:, None, :], 3, axis=1)
-        if flip:
-            tri_nrm = -tri_nrm
-        if uv is not None:
-            tri_uv = uv[idx]
-        else:
-            tri_uv = np.zeros((len(idx), 3, 2), np.float32)
-        v_chunks.append(tri_pos.astype(np.float32))
-        n_chunks.append(tri_nrm.astype(np.float32))
-        uv_chunks.append(tri_uv.astype(np.float32))
-        mat_chunks.append(np.full(len(idx), mat_id, np.int32))
-        if emission is not None and np.mean(emission) > 0:
-            # One light record per emissive triangle (TracerBoy.cpp:1527-76)
-            for k in range(len(idx)):
-                p0, p1, p2 = tri_pos[k]
-                area = 0.5 * np.linalg.norm(np.cross(p1 - p0, p2 - p0))
-                light_records.append(
-                    dict(
-                        p0=p0, p1=p1, p2=p2,
-                        n0=tri_nrm[k, 0], n1=tri_nrm[k, 1], n2=tri_nrm[k, 2],
-                        color=np.asarray(emission, np.float32),
-                        area=float(area), ltype=0,
-                        direction=np.zeros(3, np.float32),
-                    )
+    def add_light_records(tri_pos, tri_nrm, emission):
+        for k in range(len(tri_pos)):
+            p0, p1, p2 = tri_pos[k]
+            area = 0.5 * np.linalg.norm(np.cross(p1 - p0, p2 - p0))
+            light_records.append(
+                dict(
+                    p0=p0, p1=p1, p2=p2,
+                    n0=tri_nrm[k, 0], n1=tri_nrm[k, 1], n2=tri_nrm[k, 2],
+                    color=np.asarray(emission, np.float32),
+                    area=float(area), ltype=0,
+                    direction=np.zeros(3, np.float32),
                 )
-
-    for shape in scene.all_shapes():
-        emission = getattr(shape, "emission", None)
-        mat_ir = scene.materials.get(shape.material)
-        alpha_tex = getattr(shape, "alpha_texture", None)
-        mat_id = convert_material(
-            mat_ir, emission if emission is not None else (0, 0, 0),
-            table, tex_alloc, material_lookup, alpha_texture=alpha_tex,
-        )
-        if isinstance(shape, ir.TriangleMeshIR):
-            pos, nrm = _transform_mesh(shape)
-            add_mesh(pos, shape.indices, nrm, shape.uvs, mat_id, emission,
-                     shape.reverse_orientation)
-        elif isinstance(shape, ir.SphereIR):
-            pos, idx, nrm = _sphere_mesh(shape.radius)
-            M = shape.transform
-            wpos = pos @ M[:3, :3].T + M[:3, 3]
-            it = np.linalg.inv(M[:3, :3]).T
-            wnrm = nrm @ it.T
-            wnrm /= np.maximum(np.linalg.norm(wnrm, axis=1, keepdims=True), 1e-12)
-            add_mesh(wpos.astype(np.float32), idx, wnrm.astype(np.float32),
-                     None, mat_id, emission, shape.reverse_orientation)
-        elif isinstance(shape, ir.CurveIR):
-            pos, idx, nrm = tessellate_curve(
-                shape.control_points, shape.width0, shape.width1
             )
-            M = shape.transform
-            wpos = pos @ M[:3, :3].T + M[:3, 3]
-            it = np.linalg.inv(M[:3, :3]).T
-            wnrm = nrm @ it.T
-            wnrm /= np.maximum(np.linalg.norm(wnrm, axis=1, keepdims=True), 1e-12)
-            add_mesh(wpos.astype(np.float32), idx, wnrm.astype(np.float32),
-                     None, mat_id, emission, shape.reverse_orientation)
+
+    flat_shapes = scene.shapes if use_tlas else scene.all_shapes()
+    for shape in flat_shapes:
+        r = _shape_to_tris(shape, scene, table, tex_alloc, material_lookup)
+        if r is None:
+            continue
+        tri_pos, tri_nrm, tri_uv, mat_id, emission = r
+        v_chunks.append(tri_pos)
+        n_chunks.append(tri_nrm)
+        uv_chunks.append(tri_uv)
+        mat_chunks.append(np.full(len(tri_pos), mat_id, np.int32))
+        if emission is not None and np.mean(emission) > 0:
+            add_light_records(tri_pos, tri_nrm, emission)
+
+    inst_tables = inst_objects = None
+    inst_world_lo = inst_world_hi = None
+    if use_tlas:
+        from tracerboy_tpu.trace.pallas_traverse import (
+            pack_scene_for_pallas,
+        )
+
+        # Light records for instanced emissive shapes (world space).
+        import copy as _copy
+
+        for inst in scene.instances:
+            obj = scene.objects.get(inst.object_name)
+            if obj is None:
+                continue
+            for shp in obj.shapes:
+                emission = getattr(shp, "emission", None)
+                if emission is None or np.mean(emission) <= 0:
+                    continue
+                s2 = _copy.copy(shp)
+                s2.transform = inst.transform @ shp.transform
+                r = _shape_to_tris(
+                    s2, scene, table, tex_alloc, material_lookup
+                )
+                if r is not None:
+                    add_light_records(r[0], r[1], emission)
+
+        # One BLAS + packed-order attrs per unique object; a TLAS row
+        # per instance (object id, world->object affine, world AABB).
+        names = sorted({
+            i.object_name for i in scene.instances
+            if i.object_name in scene.objects
+        })
+        inst_objects = []
+        obj_index = {}
+        lo_all, hi_all = [], []
+        for n in names:
+            chunks = []
+            for shp in scene.objects[n].shapes:
+                r = _shape_to_tris(
+                    shp, scene, table, tex_alloc, material_lookup
+                )
+                if r is not None:
+                    chunks.append(r)
+            if not chunks:
+                continue
+            tp = np.concatenate([c[0] for c in chunks])
+            tn = np.concatenate([c[1] for c in chunks])
+            tu = np.concatenate([c[2] for c in chunks])
+            tm = np.concatenate([
+                np.full(len(c[0]), c[3], np.int32) for c in chunks
+            ])
+            pk, _ = pack_scene_for_pallas(tp[:, 0], tp[:, 1], tp[:, 2])
+            order = np.asarray(pk["tri_map"])
+            attrs = _attr_rows_np(tp, tn, tu, tm)[
+                np.clip(order, 0, len(tp) - 1)
+            ]
+            obj_index[n] = len(inst_objects)
+            inst_objects.append((
+                dict(nodes=np.asarray(pk["nodes"]),
+                     tris_bw=np.asarray(pk["tris_bw"])),
+                attrs,
+                (tp.reshape(-1, 3).min(0), tp.reshape(-1, 3).max(0)),
+            ))
+        inst_obj, inst_inv, inst_lo, inst_hi = [], [], [], []
+        for inst in scene.instances:
+            if inst.object_name not in obj_index:
+                continue
+            oi = obj_index[inst.object_name]
+            M = inst.transform
+            inv = np.linalg.inv(M)
+            inst_obj.append(oi)
+            inst_inv.append(inv[:3, :4].reshape(12).astype(np.float32))
+            lo, hi = inst_objects[oi][2]
+            corners = np.array([
+                [x, y, z] for x in (lo[0], hi[0])
+                for y in (lo[1], hi[1]) for z in (lo[2], hi[2])
+            ])
+            wc = corners @ M[:3, :3].T + M[:3, 3]
+            inst_lo.append(wc.min(0).astype(np.float32))
+            inst_hi.append(wc.max(0).astype(np.float32))
+        if inst_obj:
+            inst_tables = dict(
+                inst_obj=np.asarray(inst_obj, np.int32),
+                inst_inv=np.stack(inst_inv),
+                inst_lo=np.stack(inst_lo),
+                inst_hi=np.stack(inst_hi),
+            )
+            inst_objects = [(pk, at) for pk, at, _ in inst_objects]
+            inst_world_lo = np.stack(inst_lo).min(0)
+            inst_world_hi = np.stack(inst_hi).max(0)
+        else:
+            inst_objects = None
 
     if not v_chunks:
-        raise ValueError("scene contains no supported geometry")
+        if inst_tables is None:
+            raise ValueError("scene contains no supported geometry")
+        # all geometry is instanced: keep one degenerate flat triangle
+        z = np.zeros((1, 3, 3), np.float32)
+        v_chunks = [z[:, :]]
+        n_chunks = [np.zeros((1, 3, 3), np.float32)]
+        uv_chunks = [np.zeros((1, 3, 2), np.float32)]
+        mat_chunks = [np.zeros(1, np.int32)]
 
     tri_pos = np.concatenate(v_chunks)     # (T, 3, 3)
     tri_nrm = np.concatenate(n_chunks)
@@ -539,6 +729,8 @@ def compile_scene(
         sampler_spp=scene.sampler.pixel_samples,
         max_depth=scene.integrator.max_depth,
         blue_noise0=blue0, blue_noise1=blue1,
+        inst_tables=inst_tables, inst_objects=inst_objects,
+        inst_world_lo=inst_world_lo, inst_world_hi=inst_world_hi,
         **(
             dict(
                 vol_density=scene.volume.density,
@@ -699,7 +891,9 @@ def load_scene(path: str, use_cache: bool = True, film_size=None) -> CompiledSce
 
         scene_ir = parse_pbrt(path)
     cs = compile_scene(scene_ir, film_size=film_size)
-    if use_cache and film_size is None:
+    if use_cache and film_size is None and not cs.has_instances:
+        # (TLAS scenes skip the .npz cache: per-object packed tables
+        # are cheap to rebuild and not part of the flat-array format.)
         try:
             save_compiled(cache, cs)
         except OSError:

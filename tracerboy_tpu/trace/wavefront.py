@@ -285,7 +285,24 @@ def _closest_once(scene, o_v3, d_v3, t_max, cfg, shadow=False,
             scene["tri_v0"], scene["tri_v1"], scene["tri_v2"],
             leaf_size=cfg.leaf_size,
         )
-    return t, tri, u, v, cost
+    inst = jnp.full_like(tri, -1)
+    if cfg.has_instances and not shadow:
+        # Two-level instanced geometry: merge the TLAS/BLAS closest hit
+        # (trace/instanced.py); ids already offset into the combined
+        # attribute table.
+        from tracerboy_tpu.trace.instanced import instanced_closest
+
+        cap = jnp.minimum(t_max, t)
+        t2, tri2, u2, v2, in2 = instanced_closest(
+            scene, v3.to_rows(o_v3), v3.to_rows(d_v3), cap
+        )
+        take = (tri2 >= 0) & (t2 < t)
+        t = jnp.where(take, t2, t)
+        tri = jnp.where(take, tri2, tri)
+        u = jnp.where(take, u2, u)
+        v = jnp.where(take, v2, v)
+        inst = jnp.where(take, in2, inst)
+    return t, tri, u, v, cost, inst
 
 
 def _closest_dispatch(scene, o_v3, d_v3, t_max, cfg, primary=False):
@@ -299,11 +316,11 @@ def _closest_dispatch(scene, o_v3, d_v3, t_max, cfg, primary=False):
     """
     from tracerboy_tpu.core import vec3 as v3
 
-    t, tri, u, v, cost = _closest_once(
+    t, tri, u, v, cost, inst = _closest_once(
         scene, o_v3, d_v3, t_max, cfg, primary=primary
     )
     if not cfg.has_alpha:
-        return t, tri, u, v, cost
+        return t, tri, u, v, cost, inst
     attr_key = ("pk_attr_rows" if cfg.traversal == "pallas"
                 else "tri_attr_rows")
     o_cur = o_v3
@@ -315,13 +332,16 @@ def _closest_dispatch(scene, o_v3, d_v3, t_max, cfg, primary=False):
         o_cur = v3.where(reject, o_cur + d_v3 * step, o_cur)
         t_base = jnp.where(reject, t_base + step, t_base)
         tm2 = jnp.where(reject, jnp.maximum(t_max - t_base, 0.0), 0.0)
-        t2, tri2, u2, v2, c2 = _closest_once(scene, o_cur, d_v3, tm2, cfg)
+        t2, tri2, u2, v2, c2, in2 = _closest_once(
+            scene, o_cur, d_v3, tm2, cfg
+        )
         t = jnp.where(reject, t2, t)
         tri = jnp.where(reject, tri2, tri)
         u = jnp.where(reject, u2, u)
         v = jnp.where(reject, v2, v)
+        inst = jnp.where(reject, in2, inst)
         cost = cost + jnp.where(reject, c2, 0.0)
-    return t + t_base, tri, u, v, cost
+    return t + t_base, tri, u, v, cost, inst
 
 
 def _occluded_dispatch(scene, o_v3, d_v3, t_max, cfg):
@@ -335,24 +355,37 @@ def _occluded_dispatch(scene, o_v3, d_v3, t_max, cfg):
     from tracerboy_tpu.core import vec3 as v3
     from tracerboy_tpu.trace.intersect import brute_force_anyhit_soa
 
+    occ_inst = None
+    if cfg.has_instances:
+        # Instanced occluders (conservative: instanced emissive also
+        # blocks; instanced shapes are not part of the shadow BVH).
+        from tracerboy_tpu.trace.instanced import instanced_closest
+
+        t_i, tri_i, _, _, _ = instanced_closest(
+            scene, v3.to_rows(o_v3), v3.to_rows(d_v3), t_max
+        )
+        occ_inst = tri_i >= 0
     if not cfg.has_alpha:
         if cfg.use_brute_force:
-            return brute_force_anyhit_soa(
+            occ = brute_force_anyhit_soa(
                 o_v3, d_v3, scene["tri9"], t_max,
                 tri_opaque=scene.get("tri_shadow_opaque"),
             )
+            return occ | occ_inst if occ_inst is not None else occ
         if cfg.traversal == "pallas":
-            return _pallas_anyhit(
+            occ = _pallas_anyhit(
                 scene, v3.to_rows(o_v3), v3.to_rows(d_v3), t_max,
                 compact=cfg.compact_dead_rays,
             )
-        return traverse_wide(
+            return occ | occ_inst if occ_inst is not None else occ
+        occ = traverse_wide(
             v3.to_rows(o_v3), v3.to_rows(d_v3), t_max,
             scene["bvh_lo"], scene["bvh_hi"], scene["bvh_children"],
             scene["tri_v0"], scene["tri_v1"], scene["tri_v2"],
             leaf_size=cfg.leaf_size, any_hit=True,
             tri_mask=scene.get("tri_shadow_opaque"),
         )
+        return occ | occ_inst if occ_inst is not None else occ
 
     # Alpha path: opaque-hit search. The pallas shadow BVH already
     # excludes light geometry; other backends treat non-shadow-opaque
@@ -365,7 +398,7 @@ def _occluded_dispatch(scene, o_v3, d_v3, t_max, cfg):
     t_base = jnp.zeros_like(t_max)
     budget = t_max
     for _ in range(cfg.alpha_rounds + 1):
-        t, tri, u, v, _ = _closest_once(
+        t, tri, u, v, _, _ = _closest_once(
             scene, o_cur, d_v3, budget, cfg,
             shadow=(cfg.traversal == "pallas"),
         )
@@ -381,7 +414,7 @@ def _occluded_dispatch(scene, o_v3, d_v3, t_max, cfg):
         o_cur = v3.where(reject, o_cur + d_v3 * step, o_cur)
         t_base = jnp.where(reject, t_base + step, t_base)
         budget = jnp.where(reject, jnp.maximum(t_max - t_base, 0.0), 0.0)
-    return occluded
+    return occluded | occ_inst if occ_inst is not None else occluded
 
 
 @dataclass(frozen=True)
@@ -422,6 +455,11 @@ class WaveConfig:
     # the v2 kernel's stats counters for the primary dispatch
     # (TraverseFunction.hlsli:46-47 -> PostProcessCS.hlsl:133-146).
     want_heatmap: bool = False
+    # TLAS/BLAS instancing (trace/instanced.py): the scene pytree has
+    # inst_* tables and per-hit ids may index the instanced attr range;
+    # shading rotates object-space normals by the hit instance's
+    # world->object inverse.
+    has_instances: bool = False
     # Heterogeneous volume (scene-level density grid; the reference's
     # openvdb path, TracerBoy.cpp:1096-1184, plus the shading it lacks).
     has_volume: bool = False
@@ -683,7 +721,7 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
 
         # --- traversal (+ alpha-tested transparency re-fire) -------------
         t_max = jnp.where(alive, BIG, 0.0)
-        t, tri, u, v, trav_cost = _closest_dispatch(
+        t, tri, u, v, trav_cost, hit_inst = _closest_dispatch(
             scene, s["origin"], s["direction"], t_max, cfg,
             primary=(isinstance(i, int) and i == 0),
         )
@@ -745,6 +783,20 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
             attrs[1] * w_b + attrs[4] * u + attrs[7] * v,
             attrs[2] * w_b + attrs[5] * u + attrs[8] * v,
         ))
+        if cfg.has_instances:
+            # Instanced hits carry OBJECT-space normals: rotate into
+            # world space by (M^-1)^T (columns of the stored world->
+            # object inverse rows).
+            inv = scene["inst_inv"][jnp.clip(hit_inst, 0, None)]
+            nwx = (inv[:, 0] * sh_normal.x + inv[:, 4] * sh_normal.y
+                   + inv[:, 8] * sh_normal.z)
+            nwy = (inv[:, 1] * sh_normal.x + inv[:, 5] * sh_normal.y
+                   + inv[:, 9] * sh_normal.z)
+            nwz = (inv[:, 2] * sh_normal.x + inv[:, 6] * sh_normal.y
+                   + inv[:, 10] * sh_normal.z)
+            rot = v3.normalize(V3(nwx, nwy, nwz))
+            is_inst = hit_inst >= 0
+            sh_normal = v3.where(is_inst, rot, sh_normal)
         uv_u = attrs[9] * w_b + attrs[11] * u + attrs[13] * v
         uv_v = attrs[10] * w_b + attrs[12] * u + attrs[14] * v
         mat_id = jnp.round(attrs[15]).astype(jnp.int32)
