@@ -274,3 +274,51 @@ class TestAdaptiveRealtime:
         assert np.isfinite(img).all()
         assert lives[0] == 32 * 32          # warmup: all pixels live
         assert lives[-1] < 32 * 32          # some pixels went inactive
+
+
+def test_taa_catmull_rom_option():
+    """The optional Catmull-Rom history path
+    (TemporalAccumulationCS.hlsl:24-72): for a SMOOTH history with a
+    static camera it must agree closely with the bilinear default, and
+    the neighborhood clamp bounds it everywhere."""
+    from tracerboy_tpu.post.temporal import temporal_accumulate
+    from tracerboy_tpu.trace.camera import Camera
+
+    H, W = 24, 32
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    smooth = np.stack(
+        [0.3 + 0.3 * np.sin(xx / 7), 0.4 + 0.2 * np.cos(yy / 5),
+         np.full((H, W), 0.5, np.float32)], axis=-1,
+    ).astype(np.float32)
+    cam = Camera(
+        position=np.array([0, 0, 5], np.float32),
+        look_at=np.array([0, 0, 0], np.float32),
+        up=np.array([0, 1, 0], np.float32),
+        right=np.array([1, 0, 0], np.float32),
+        lens_height=2.0, focal_distance=5.0,
+    )
+    # world positions on the focal plane so reprojection is identity-ish
+    u = (xx + 0.5) / W - 0.5
+    v = 0.5 - (yy + 0.5) / H
+    wp = np.stack(
+        [u * 2.0 * W / H, v * 2.0, np.zeros_like(u),
+         np.full_like(u, 0.1)], axis=-1,
+    ).astype(np.float32)
+    normals = np.broadcast_to(
+        np.array([0, 0, 1], np.float32), (H, W, 3)
+    ).copy()
+    cur = smooth * 0.9
+    moments = np.zeros((H, W, 3), np.float32)
+
+    args = (jnp.asarray(cur), jnp.asarray(wp), jnp.asarray(normals),
+            jnp.asarray(wp), jnp.asarray(smooth), jnp.asarray(moments),
+            cam.as_pytree(), 2.0)
+    out_bi, _ = temporal_accumulate(*args, catmull_rom=False)
+    out_cr, _ = temporal_accumulate(*args, catmull_rom=True)
+    bi = np.asarray(out_bi)[..., :3]
+    cr = np.asarray(out_cr)[..., :3]
+    assert np.isfinite(cr).all()
+    # interior agreement on smooth data (borders may differ by the pad)
+    diff = np.abs(bi - cr)[2:-2, 2:-2]
+    assert diff.max() < 0.05, diff.max()

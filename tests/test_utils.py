@@ -139,3 +139,49 @@ class TestSceneFacts:
         assert not cfg.has_emissive_tex
         assert cfg.has_env
         assert cfg.traversal == "pallas"
+
+
+def test_checkpoint_realtime_history_roundtrip(tmp_path):
+    """Round-3 scope: the RealTime temporal history (TAA color/moment/
+    indirect, raw, AOVs) and governor pad survive checkpoint/resume, so
+    a resumed RealTime session keeps its converged history."""
+    import dataclasses
+    import os
+
+    from tests.conftest import SCENES_ROOT
+    from tracerboy_tpu.renderer import Renderer
+    from tracerboy_tpu.utils.checkpoint import (
+        load_render_checkpoint,
+        save_render_checkpoint,
+    )
+    from tracerboy_tpu.utils.config import RenderMode
+
+    scene = os.path.join(SCENES_ROOT, "cornell-box", "scene.pbrt")
+    if not os.path.exists(scene):
+        import pytest
+
+        pytest.skip("cornell-box scene missing")
+    r1 = Renderer(scene, film_size=(16, 16))
+    r1.settings = dataclasses.replace(
+        r1.settings, render_mode=RenderMode.REAL_TIME
+    )
+    for _ in range(3):
+        r1.render_realtime_frame_fused()
+    ck = str(tmp_path / "rt.npz")
+    save_render_checkpoint(ck, r1)
+
+    r2 = Renderer(scene, film_size=(16, 16))
+    r2.settings = dataclasses.replace(
+        r2.settings, render_mode=RenderMode.REAL_TIME
+    )
+    r2.render_realtime_frame_fused()   # create same-shaped history
+    assert load_render_checkpoint(ck, r2)
+    assert r2.state.spp == r1.state.spp
+    h1 = r1._rt_hist_fused
+    h2 = r2._rt_hist_fused
+    np.testing.assert_allclose(
+        np.asarray(h2["final"]), np.asarray(h1["final"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(h2["moments"]), np.asarray(h1["moments"]), rtol=1e-6
+    )

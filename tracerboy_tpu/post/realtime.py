@@ -98,6 +98,8 @@ def _realtime_frame_jit(
         hist_ind, hist_mom, cam_prev, lens_height,
         history_weight=history_weight, ignore_history=first,
         output_moments=True,
+        catmull_rom=bool(getattr(
+            denoiser_settings, "taa_catmull_rom", False)),
     )
 
     # Wavelet denoise the indirect estimate.
@@ -126,6 +128,8 @@ def _realtime_frame_jit(
         hist_fin, jnp.zeros((H, W, 3), jnp.float32), cam_prev, lens_height,
         history_weight=history_weight, ignore_history=first,
         output_moments=False,
+        catmull_rom=bool(getattr(
+            denoiser_settings, "taa_catmull_rom", False)),
     )
     display = taa_fin[..., :3]
 

@@ -71,7 +71,71 @@ def project_to_prev_uv(world_pos, cam_prev, lens_height, width, height):
     return uv, valid
 
 
-@partial(jax.jit, static_argnames=("output_moments", "ignore_history"))
+def _sample_history_catmull_rom(history, fx, fy, H, W):
+    """Catmull-Rom history sampling in 9 bilinear taps — the reference's
+    optional quality path (TemporalAccumulationCS.hlsl:24-72, after
+    TheRealMJP's 9-tap formulation). Costs 9 quad-row gathers vs the
+    default path's single fused gather; off by default
+    (DenoiserSettings.taa_catmull_rom)."""
+    pos_x = fx + 0.5          # samplePos in texel units
+    pos_y = fy + 0.5
+    t1x = jnp.floor(pos_x - 0.5) + 0.5
+    t1y = jnp.floor(pos_y - 0.5) + 0.5
+    f_x = pos_x - t1x
+    f_y = pos_y - t1y
+
+    def wgts(f):
+        w0 = f * (-0.5 + f * (1.0 - 0.5 * f))
+        w1 = 1.0 + f * f * (-2.5 + 1.5 * f)
+        w2 = f * (0.5 + f * (2.0 - 1.5 * f))
+        w3 = f * f * (-0.5 + 0.5 * f)
+        return w0, w1, w2, w3
+
+    w0x, w1x, w2x, w3x = wgts(f_x)
+    w0y, w1y, w2y, w3y = wgts(f_y)
+    w12x = w1x + w2x
+    w12y = w1y + w2y
+    off12x = w2x / jnp.maximum(w12x, 1e-8)
+    off12y = w2y / jnp.maximum(w12y, 1e-8)
+
+    # history-only quad table for the bilinear sub-taps
+    pp = jnp.pad(history, ((0, 1), (0, 1), (0, 0)), mode="edge")
+    quad = jnp.concatenate(
+        [history, pp[:H, 1:W + 1], pp[1:H + 1, :W],
+         pp[1:H + 1, 1:W + 1]], axis=-1,
+    ).reshape(H * W, 12)
+
+    def bilinear(px, py):
+        qx = jnp.clip(px - 0.5, 0.0, W - 1.001)
+        qy = jnp.clip(py - 0.5, 0.0, H - 1.001)
+        bx = jnp.floor(qx).astype(jnp.int32)
+        by = jnp.floor(qy).astype(jnp.int32)
+        rx = qx - bx
+        ry = qy - by
+        rows = quad[by * W + bx]
+        out = []
+        for c in range(3):
+            out.append(
+                rows[..., c] * (1 - rx) * (1 - ry)
+                + rows[..., 3 + c] * rx * (1 - ry)
+                + rows[..., 6 + c] * (1 - rx) * ry
+                + rows[..., 9 + c] * rx * ry
+            )
+        return out
+
+    xs = [(t1x - 1.0, w0x), (t1x + off12x, w12x), (t1x + 2.0, w3x)]
+    ys = [(t1y - 1.0, w0y), (t1y + off12y, w12y), (t1y + 2.0, w3y)]
+    acc = [jnp.zeros_like(f_x) for _ in range(3)]
+    for py, wy in ys:
+        for px, wx in xs:
+            tap = bilinear(px, py)
+            for c in range(3):
+                acc[c] = acc[c] + tap[c] * (wx * wy)
+    return acc
+
+
+@partial(jax.jit, static_argnames=("output_moments", "ignore_history",
+                                   "catmull_rom"))
 def temporal_accumulate(
     current,          # (H, W, 3) this frame's color
     world_pos,        # (H, W, 4) xyz + neighbor distance
@@ -84,6 +148,7 @@ def temporal_accumulate(
     history_weight=0.95,
     ignore_history=False,
     output_moments: bool = True,
+    catmull_rom: bool = False,
 ):
     """Returns (color+variance alpha (H, W, 4), new moments (H, W, 3)).
 
@@ -92,6 +157,9 @@ def temporal_accumulate(
     its 3-lane minor dim to 128 on TPU; the plane rewrite took the
     512x512 pass from ~8.5 ms to ~2 ms.
     """
+    def wdiv0(ws):
+        return jnp.maximum(ws, 1e-8)
+
     H, W = current.shape[:2]
     wp = world_pos[..., :3]
     cur_p = [current[..., c] for c in range(3)]
@@ -159,6 +227,17 @@ def temporal_accumulate(
                 prev_c[c] = prev_c[c] + rows[..., b + c] * wgt
                 prev_m[c] = prev_m[c] + rows[..., b + 3 + c] * wgt
             weight_sum = weight_sum + wgt
+
+    if catmull_rom:
+        # Optional Catmull-Rom color-history resampling (the reference's
+        # TemporalAccumulationCS.hlsl:24-72 path); validity/moments keep
+        # the bilinear machinery, and the neighborhood clamp below
+        # bounds any ringing.
+        cr = _sample_history_catmull_rom(history, fx, fy, H, W)
+        for c in range(3):
+            prev_c[c] = jnp.where(
+                weight_sum > 0.0, cr[c] * wdiv0(weight_sum), prev_c[c]
+            )
 
     valid = in_bounds & hit_valid & (weight_sum > 0.0)
     if ignore_history:

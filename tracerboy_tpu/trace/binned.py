@@ -511,9 +511,12 @@ def _make_dense_kernel(C: int, P: int, D: int):
                 )
                 u = Co + t * Cd
                 v = Eo + t * Ed
+                # Same conservative containment band as the packet
+                # kernel's drain: shared-edge points hit BOTH adjacent
+                # triangles rather than neither (no cracks).
                 ok = (
-                    (t > 1e-5) & (u >= 0.0) & (v >= 0.0)
-                    & (u + v <= 1.0) & (jnp.abs(B) >= 1e-12)
+                    (t > 1e-5) & (u >= -1e-5) & (v >= -1e-5)
+                    & (u + v <= 1.0 + 1e-5) & (jnp.abs(B) >= 1e-12)
                     & match & (t < cap)
                 )
                 tm = jnp.where(ok, t, jnp.float32(BIG))

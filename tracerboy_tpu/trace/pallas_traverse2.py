@@ -152,9 +152,18 @@ def _tri_tests(trow, ox, oy, oz, dx, dy, dz):
         eo = g2x * ox + g2y * oy + g2z * oz + g2w
         ed = g2x * dx + g2y * dy + g2z * dz
         vv = eo + tt * ed
+        # Conservative containment band: a point exactly on a shared
+        # edge/vertex must hit at least one of the adjacent triangles.
+        # Independent per-triangle rounding can push both barycentric
+        # tests outward (~1 ulp ~ 1e-7); the 1e-5 band turns potential
+        # cracks into harmless double-acceptance (closest-hit keeps the
+        # nearer one). The exact Woop/Benthin/Wald test remains the
+        # oracle (trace/intersect.ray_triangle_watertight); edge-crack
+        # and vertex-fan tests run against THIS kernel in
+        # tests/test_accel.py::TestWatertightProduction.
         ok = (
             (jnp.abs(B) > 1e-12)
-            & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+            & (uu >= -1e-5) & (vv >= -1e-5) & (uu + vv <= 1.0 + 1e-5)
             & (tt > 1e-5)
         )
         out.append((tt, uu, vv, ok))

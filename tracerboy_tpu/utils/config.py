@@ -110,6 +110,10 @@ class DenoiserSettings:
     intersection_position_weight_exponent: float = 1.0
     luminance_weight: float = 4.0
     max_z: float = 10000.0
+    # Optional Catmull-Rom TAA history resampling
+    # (TemporalAccumulationCS.hlsl:24-72); sharper history under motion
+    # at the cost of 9 gathers per TAA pass.
+    taa_catmull_rom: bool = False
 
 
 @dataclass(frozen=True)
