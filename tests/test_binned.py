@@ -155,3 +155,43 @@ def test_binned_overflow_scene_falls_back(rng):
     hit_ref = t_ref < 1e29
     np.testing.assert_array_equal(hit, hit_ref)
     np.testing.assert_allclose(t[hit], t_ref[hit], rtol=1e-3, atol=1e-5)
+
+
+def test_binned_in_renderer_matches_brute(tmp_path):
+    """End-to-end: a full render_sample with binned bounce waves matches
+    the brute-force backend on the same scene + sampler streams."""
+    import functools
+    import os
+
+    import tracerboy_tpu.trace.binned as bn
+    import tracerboy_tpu.trace.pallas_traverse2 as pt2
+    from tests.conftest import SCENES_ROOT
+    from tests.test_pallas import _patch_interpret
+    from tracerboy_tpu.renderer import Renderer
+
+    scene = os.path.join(SCENES_ROOT, "cornell-box", "scene.pbrt")
+    if not os.path.exists(scene):
+        pytest.skip("cornell-box scene missing")
+    orig = _patch_interpret(pt2)
+    orig_bc = bn.binned_closest
+    bn.binned_closest = functools.partial(orig_bc, interpret=True)
+    try:
+        os.environ["TB_TRAVERSAL"] = "brute"
+        r_b = Renderer(scene, film_size=(24, 16))
+        r_b.render_sample(1)
+        img_b = np.asarray(r_b.resolve_radiance())
+
+        os.environ["TB_TRAVERSAL"] = "pallas"
+        os.environ["TB_BINNED"] = "1"
+        r_p = Renderer(scene, film_size=(24, 16))
+        assert r_p.wave_config().binned_bounces
+        r_p.render_sample(1)
+        img_p = np.asarray(r_p.resolve_radiance())
+        assert np.isfinite(img_p).all()
+        close = np.isclose(img_p, img_b, rtol=1e-3, atol=5e-3)
+        assert close.mean() > 0.97, close.mean()
+    finally:
+        os.environ.pop("TB_TRAVERSAL", None)
+        os.environ.pop("TB_BINNED", None)
+        bn.binned_closest = orig_bc
+        pt2.traverse_packets2, pt2.anyhit_packets2 = orig
