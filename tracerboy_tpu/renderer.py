@@ -249,21 +249,22 @@ class Renderer:
         )
 
     def _use_binned(self) -> bool:
-        """Bounce-wave backend policy, from measured per-bounce costs
-        (round 3, teapot/vw-van): the binned backend's cost is roughly
-        geometry-independent (~capacity-bound sorts + dense MXU tiles),
-        while the packet kernel's grows with incoherent divergence. On
-        teapot-scale scenes the packet kernel wins every bounce; on
-        large interior scenes (vw-van: 0.68 Mrays/s full-wave on
-        packets) the binned path wins. TB_BINNED=1/0 forces it."""
+        """Bounce-wave backend policy. Measured on hardware (round 3,
+        BENCH notes): the binned backend — sort rays to clusters, dense
+        MXU tiles — reaches ~90 Gpair-tests/s in its kernel, but its
+        provable-nearest resolution forces either a large K-nearest set
+        (capacity-bound sorts) or a packet-kernel fallback that costs
+        64-86% of the full wave on real scenes (vw-van: 1317 ms/wave vs
+        the packet kernel's 511; teapot: 634 vs 242). The packet kernel
+        with dead-lane compaction wins every measured bounce, so binned
+        stays OFF unless forced with TB_BINNED=1 — kept as a correct,
+        tested backend for cluster-local workloads and future
+        per-lane-gather hardware."""
         forced = os.environ.get("TB_BINNED")
-        if forced in ("0", "1"):
-            return (forced == "1"
-                    and "bn_nodes" in self.scene_pytree)
         return (
-            self.traversal == "pallas"
+            forced == "1"
+            and self.traversal == "pallas"
             and "bn_nodes" in self.scene_pytree
-            and self.compiled.tri_v0.shape[0] >= 300_000
         )
 
     def frame_params(self, fixed_offset=None) -> dict:

@@ -324,11 +324,13 @@ class CompiledScene:
             )
             out["pk_attr_rows"] = jnp.asarray(tri_attr_rows[order])
             out["pk_sh_attr_rows"] = jnp.asarray(tri_attr_rows[sh_order])
-        # Binned-traversal tables (trace/binned.py) for incoherent bounce
-        # waves — shares the pk triangle id space.
-        from tracerboy_tpu.trace.binned import pack_scene_binned
+        # Binned-traversal tables (trace/binned.py) — opt-in: the packet
+        # kernel won every measured wave (see Renderer._use_binned), so
+        # the ~48 B/tri MOT table is only built when requested.
+        if os.environ.get("TB_BINNED") == "1":
+            from tracerboy_tpu.trace.binned import pack_scene_binned
 
-        out.update(pack_scene_binned(pk["tris"]))
+            out.update(pack_scene_binned(pk["tris"]))
         return out
 
 
