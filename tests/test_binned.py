@@ -59,10 +59,43 @@ def test_binned_matches_brute_force(rng, n_tris):
     t_ref = np.asarray(t_ref)
     hit = tri >= 0
     hit_ref = t_ref < 1e29
-    np.testing.assert_array_equal(hit, hit_ref)
-    np.testing.assert_allclose(t[hit], t_ref[hit], rtol=1e-3, atol=1e-5)
+    # The binned drains share the production kernels' conservative
+    # containment band (pallas_traverse2: barycentrics accepted within
+    # 1e-5 of the valid region, so shared edges can never crack). The
+    # watertight brute-force oracle is exact, so binned may report an
+    # EXTRA hit exactly on an edge — verify any such hit really lies
+    # within the band. Missing a brute-force hit is always a failure.
+    assert not np.any(hit_ref & ~hit), "binned missed a true hit"
+
+    def assert_band_hit(i):
+        """The reported hit must lie on the reported triangle within the
+        band, and be no farther than the oracle's closest hit."""
+        k = tri[i]
+        e1, e2 = v1[k] - v0[k], v2[k] - v0[k]
+        n = np.cross(e1, e2)
+        tt = float(np.dot(n, v0[k] - o[i])) / float(np.dot(n, d[i]))
+        p = o[i] + tt * d[i] - v0[k]
+        m = np.linalg.inv(np.stack([e1, e2, n]).T.astype(np.float64))
+        uu, vv, _ = m @ p.astype(np.float64)
+        band = 5e-5
+        assert (uu >= -band and vv >= -band and uu + vv <= 1 + band), (
+            f"ray {i}: disagreeing hit not on a containment-band edge "
+            f"(u={uu} v={vv})"
+        )
+        assert t[i] <= t_ref[i] * (1 + 1e-5) + 1e-5, (
+            f"ray {i}: binned hit farther than oracle closest "
+            f"({t[i]} > {t_ref[i]})"
+        )
+
+    for i in np.nonzero(hit & ~hit_ref)[0]:
+        assert_band_hit(i)
+    both = hit & hit_ref
+    agree = both & np.isclose(t, t_ref, rtol=1e-3, atol=1e-5)
+    for i in np.nonzero(both & ~agree)[0]:
+        assert_band_hit(i)
+    assert agree[both].mean() > 0.995
     same = np.abs(t - t_ref) < 1e-6
-    assert (tri[hit & same] == np.asarray(tri_ref)[hit & same]).mean() > 0.98
+    assert (tri[both & same] == np.asarray(tri_ref)[both & same]).mean() > 0.98
 
 
 def test_binned_no_fallback_is_conservative(rng):

@@ -468,6 +468,17 @@ class WaveConfig:
                                     # finish; this only bounds the RNG
                                     # stream space)
     volume_shadow_steps: int = 8    # ratio-marching samples per NEE ray
+    # Fresnel-weighted lobe selection (the reference's
+    # bUseSpecularRayImportanceSampling A/B, kernel.glsl:1397-1414 and
+    # 1708): pick the specular lobe with probability SpecularCoef
+    # instead of 0.5 and mix the one-sample-MIS pdf with the same
+    # weights. Unbiased for ANY selection probability (the pdf mix
+    # compensates), so goldens are unchanged in expectation; measured on
+    # vw-van's uber ground the 50/50 estimator is bimodal
+    # ({~0.05, ~1.25} per sample, ~25:1 lobe contributions) and this cuts
+    # raw 8-spp RMSE dramatically. The reference ships the code path but
+    # leaves it compiled to false.
+    spec_importance: bool = True
     # Packet-world ray compaction: sort dead lanes into all-dead packets
     # (PerformanceSettings.enable_ray_compaction; A/B in bench_traverse).
     compact_dead_rays: bool = True
@@ -892,7 +903,33 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
 
         r_spec = tbrng.uniform(lane, sample_index, i,
                                tbrng.STREAM_SPECULAR_SELECT, seed)
-        spec_ray = allows_spec & (is_metal | (r_spec < 0.5))
+        if cfg.spec_importance:
+            # Lobe probability ∝ each lobe's expected energy at THIS
+            # incidence. The reference's disabled A/B (kernel.glsl:1410)
+            # uses the normal-incidence coefficient alone, which
+            # under-samples the specular lobe at grazing angles where
+            # Schlick Fresnel → 1 (measured: rare 25x fireflies on the
+            # far ground more than undo the win). Balancing incident
+            # Fresnel against the diffuse albedo fixes both ends; any
+            # p in (0,1) is unbiased (the MIS pdf mix compensates).
+            refl0 = mat["specular_coef"]
+            cos_i = jnp.abs(ray_dot_n)
+            f_i = refl0 + (1.0 - refl0) * jnp.power(1.0 - cos_i, 5.0)
+            alb_avg = (mat["albedo"].x + mat["albedo"].y
+                       + mat["albedo"].z) * (1.0 / 3.0)
+            p_spec = jnp.clip(
+                f_i / jnp.maximum(f_i + (1.0 - f_i) * alb_avg, 1e-6),
+                0.05, 0.95,
+            )
+            # Dielectric/SSS media keep the reference's 50/50: their
+            # reflect-vs-refract split is an UNCOMPENSATED branch weight
+            # (the refraction branch applies no pdf or 1/(1-p) factor,
+            # kernel.glsl:1640-1691), so the probability there is part
+            # of the material model, not a free importance choice.
+            p_spec = jnp.where(is_sss, 0.5, p_spec)
+        else:
+            p_spec = 0.5 * one
+        spec_ray = allows_spec & (is_metal | (r_spec < p_spec))
         perfect_spec = spec_ray & (mat["roughness"] < 0.05)
 
         take_emissive = (
@@ -1056,9 +1093,14 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         half = half_vector_safe_soa(-prev_dir, new_dir, detail_normal)
         spec_pdf = ggx_reflection_pdf_soa(detail_normal, new_dir, half,
                                           mat["roughness"])
+        # One-sample MIS over the two lobes: mix(SpecularPDF, DiffusePDF,
+        # 1 - p_spec) (kernel.glsl:1708-1710; p_spec = 0.5 in the
+        # reference default, ReflectionCoefficient when importance
+        # sampling is on).
         pdf = jnp.where(
             allows_spec,
-            jnp.where(is_metal, spec_pdf, 0.5 * (spec_pdf + diffuse_pdf)),
+            jnp.where(is_metal, spec_pdf,
+                      p_spec * spec_pdf + (1.0 - p_spec) * diffuse_pdf),
             diffuse_pdf,
         )
         inv_pdf = 1.0 / jnp.maximum(pdf, 1e-8)
