@@ -156,6 +156,47 @@ class TestConsistency:
         assert abs(mean_is - mean_50) / mean_50 < 0.05, (mean_is, mean_50)
         assert var_is < var_50 * 0.5, (var_is, var_50)
 
+    def test_merged_wave_matches_separate_samples(self, tmp_path):
+        """render_wave_merged(k) traces the SAME sample set as k calls to
+        render_wave (identical per-lane RNG streams), so the summed
+        radiance must match exactly; only packet grouping differs."""
+        import jax.numpy as jnp
+
+        from tracerboy_tpu.trace.wavefront import (
+            render_wave,
+            render_wave_merged,
+        )
+
+        path = write_scene(tmp_path, PLANE_UNDER_SKY)
+        r = Renderer(path)  # 32x32 film
+        cfg = r.wave_config()
+        pixel_ids = jnp.arange(32 * 32, dtype=jnp.int32)
+        params = r.frame_params()
+        k = 3
+        sep_rad = 0.0
+        sep_fw = 0.0
+        for s in range(k):
+            out = render_wave(r.scene_pytree, params, pixel_ids,
+                              jnp.int32(s), cfg)
+            sep_rad = sep_rad + np.asarray(out["radiance"])
+            sep_fw = sep_fw + np.asarray(out["filter_weight"])
+        merged = render_wave_merged(r.scene_pytree, params, pixel_ids,
+                                    jnp.int32(0), k, cfg)
+        np.testing.assert_allclose(
+            np.asarray(merged["radiance"]), sep_rad, rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(merged["filter_weight"]), sep_fw,
+            rtol=1e-5, atol=1e-6,
+        )
+        # AOVs come from the first sample's replica.
+        out0 = render_wave(r.scene_pytree, params, pixel_ids,
+                           jnp.int32(0), cfg)
+        np.testing.assert_allclose(
+            np.asarray(merged["normal"]), np.asarray(out0["normal"]),
+            rtol=1e-5, atol=1e-6,
+        )
+
     def test_convergence_metric_decreases(self, tmp_path):
         path = write_scene(tmp_path, PLANE_UNDER_SKY)
         r = Renderer(path)

@@ -346,6 +346,35 @@ class Renderer:
             params["active_mask"] = mask
             self._live_pixels = mask
         if n > 1:
+            # Packet-kernel waves merge the batch's samples into ONE
+            # k*N-lane wave: the per-bounce coherence sort then packs
+            # much denser packets (cross-sample regeneration; measured
+            # 0.9 -> 3.9 Mrays/s on teapot bounce waves at 8x density).
+            # Chunked so lane count stays under ~4M (sort workspace).
+            from tracerboy_tpu.trace.wavefront import render_wave_merged
+
+            use_merged = (
+                cfg.traversal == "pallas"
+                and params.get("selected_pixel") is None
+            )
+            if use_merged:
+                k_max = max(1, 4_194_304 // max(pixel_ids.shape[0], 1))
+                done = 0
+                while done < n:
+                    kk = min(n - done, k_max)
+                    if kk == 1:
+                        out = render_wave(
+                            self.scene_pytree, params, pixel_ids,
+                            jnp.int32(self.state.spp), cfg,
+                        )
+                    else:
+                        out = render_wave_merged(
+                            self.scene_pytree, params, pixel_ids,
+                            jnp.int32(self.state.spp), kk, cfg,
+                        )
+                    self._accumulate(out, samples=kk)
+                    done += kk
+                return self.state
             out = render_wave_batch(
                 self.scene_pytree, params, pixel_ids,
                 jnp.int32(self.state.spp), n, cfg,

@@ -592,7 +592,9 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         shift = tbrng.halton23(jnp.asarray(sample_index))
 
         def rot(u, k):
-            return jnp.mod(u + shift[k], 1.0)
+            # shift is (2,) for a scalar sample_index, (N, 2) when the
+            # wave merges samples (per-lane sample ids).
+            return jnp.mod(u + shift[..., k], 1.0)
 
         jit_u, jit_v = rot(bn[0], 0), rot(bn[1], 1)
         blue_dir = (rot(bn[2], 0), rot(bn[3], 1))
@@ -1261,6 +1263,60 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
 
 
 @partial(jax.jit, static_argnames=("cfg", "k"))
+def render_wave_merged(scene, params, pixel_ids, base_sample, k: int,
+                       cfg: WaveConfig):
+    """Trace k samples per pixel in ONE wave of k*N lanes.
+
+    Cross-sample regeneration: merging samples multiplies the ray-space
+    density seen by the per-bounce coherence sort, so each 2048-ray
+    packet covers a tighter 6D cell and the packet kernel's union tax
+    falls. Measured on teapot bounce waves (scripts/bench_traverse):
+    0.93 Mrays/s at 230k rays -> 3.9 Mrays/s at 1.8M rays. This is the
+    'fundamentally coherent algorithm' lever from the round-3 traversal
+    campaign (ARCHITECTURE.md) — the reference has no analog (its SIMT
+    megakernel regenerates per pixel, TracerBoy.cpp:2898-2931).
+
+    Returns per-PIXEL summed radiance/filter_weight/rays_traced plus the
+    first sample's AOVs (matching render_wave_batch's contract).
+    Not compatible with params['selected_pixel'] ray recording (the
+    selected lane would be recorded k times) — callers keep the looped
+    batch for viewer-driven waves.
+    """
+    N = pixel_ids.shape[0]
+    tiled = jnp.tile(pixel_ids, k)
+    sidx = (jnp.asarray(base_sample, jnp.int32)
+            + jnp.repeat(jnp.arange(k, dtype=jnp.int32), N))
+    p2 = dict(params)
+    assert p2.get("selected_pixel") is None, (
+        "merged waves cannot record the selected pixel's ray path"
+    )
+    if p2.get("bn") is not None:
+        p2["bn"] = tuple(jnp.tile(b, k) for b in p2["bn"])
+    if p2.get("active_mask") is not None:
+        p2["active_mask"] = jnp.tile(p2["active_mask"], k)
+    out = render_wave(scene, p2, tiled, sidx, cfg)
+
+    def fold(a):
+        return a.reshape((k,) + (N,) + a.shape[1:]).sum(0)
+
+    result = dict(
+        radiance_r=fold(out["radiance_r"]),
+        radiance_g=fold(out["radiance_g"]),
+        radiance_b=fold(out["radiance_b"]),
+        filter_weight=fold(out["filter_weight"]),
+        rays_traced=out["rays_traced"],
+        live_end=out["live_end"],
+    )
+    if cfg.want_aovs:
+        result["radiance"] = fold(out["radiance"])
+        for key in ("albedo", "normal", "world_pos", "depth", "emissive",
+                    "material", "diffuse_contrib", "neighbor_dist",
+                    "heatmap"):
+            result[key] = out[key][:N]
+        result["viz_rays"] = out["viz_rays"]
+    return result
+
+
 def render_wave_batch(scene, params, pixel_ids, base_sample, k: int,
                       cfg: WaveConfig):
     """Trace k samples per pixel in ONE dispatch (amortizes dispatch
