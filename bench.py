@@ -117,8 +117,17 @@ def bench_headline(results, n_runs=100):
 
 def bench_config_waves(results, n_runs=6):
     """BASELINE configs 2-4: full-wavefront throughput per scene on the
-    production (pallas) backend. Returns the geomean — the HEADLINE
-    number (these are the scenes the 100 Mrays/s/chip target is about)."""
+    production (pallas) backend, measured on the renderer's ACTUAL
+    dispatch shape — merged-sample waves (render_sample batches k
+    samples into one k*N-lane wave; renderer.py merged path). The
+    single-sample wave is reported alongside as mrays/<scene>-<bk>-k1.
+    Returns the geomean of the merged numbers — the HEADLINE (these are
+    the scenes the 100 Mrays/s/chip target is about)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tracerboy_tpu.trace.wavefront import render_wave_merged
+
     vals = []
     for name, film in (("teapot", (640, 368)), ("dragon", (640, 368)),
                        ("vw-van", (512, 320))):
@@ -126,8 +135,18 @@ def bench_config_waves(results, n_runs=6):
             step, scene, params, pixel_ids, r = _wave_step(
                 SCENES[name], film, max_bounces=6,
             )
-            mrays, rpw = _throughput(step, scene, params, pixel_ids, n_runs)
-            results[f"mrays/{name}-{r.traversal}"] = round(mrays, 2)
+            mrays1, rpw = _throughput(step, scene, params, pixel_ids,
+                                      n_runs)
+            results[f"mrays/{name}-{r.traversal}-k1"] = round(mrays1, 2)
+            # Production merge factor: the renderer's 4M-lane budget.
+            k = max(1, min(16, 4_194_304 // pixel_ids.shape[0]))
+            cfg = r.wave_config()
+            import dataclasses
+            cfg = dataclasses.replace(cfg, max_bounces=6, want_aovs=False)
+            mstep = jax.jit(partial(render_wave_merged, k=k, cfg=cfg))
+            mrays, _ = _throughput(mstep, scene, params, pixel_ids,
+                                   max(2, n_runs // 2))
+            results[f"mrays/{name}-{r.traversal}-k{k}"] = round(mrays, 2)
             vals.append(mrays)
         except Exception as e:  # missing assets etc.
             results[f"mrays/{name}"] = f"error: {type(e).__name__}: {e}"

@@ -459,15 +459,33 @@ def compile_scene(
     """instancing: "flatten" composes every instance into the flat
     triangle soup (the round-1/2 behavior); "tlas" keeps one BLAS per
     unique object + a per-instance transform table
-    (TracerBoy.cpp:1305-1410); "auto" picks tlas at >= 16 instances."""
+    (TracerBoy.cpp:1305-1410); "auto" picks tlas only when flattening
+    is actually expensive (>= 16 instances AND >= 1M flattened instanced
+    triangles). TLAS exists to bound memory on instance-heavy scenes; a
+    scene like vw-van (240 instances, ~100k instanced tris) renders
+    faster flat — one wave dispatch instead of per-round TLAS passes."""
     table = MaterialTable()
     tex_alloc = TextureAllocator(scene.base_dir, scene.textures)
 
     def material_lookup(name):
         return scene.materials.get(name)
 
+    def _flat_instanced_tris() -> int:
+        total = 0
+        for inst in scene.instances:
+            obj = scene.objects.get(inst.object_name)
+            if obj is None:
+                continue
+            for shp in obj.shapes:
+                if getattr(shp, "indices", None) is not None:
+                    total += len(shp.indices)
+                else:
+                    total += 2048  # sphere/curve tessellation estimate
+        return total
+
     use_tlas = instancing == "tlas" or (
         instancing == "auto" and len(scene.instances) >= 16
+        and _flat_instanced_tris() >= 1_000_000
     )
 
     # --- gather world-space triangle soup -------------------------------

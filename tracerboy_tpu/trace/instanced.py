@@ -139,39 +139,67 @@ def instanced_closest(scene, origin, direction, t_max,
 
     N = origin.shape[0]
     n_obj = len(scene["inst_objs"])
-    tn = _slab(origin, direction, scene["inst_lo"], scene["inst_hi"])
-    tn = jnp.where(t_max[:, None] > 0.0, tn, jnp.float32(BIG))
+    I = scene["inst_lo"].shape[0]
+    K_eff = min(KI * ROUNDS, I)
+
+    # Entry-t-ordered candidate instances per ray, selected UPFRONT with
+    # a chunked slab + top-k: only (CHUNK, I) is ever live, and the
+    # rounds below carry (N, K_eff) — a merged 2.6M-lane wave against
+    # 240 instances would otherwise hold multi-GB (N, I) temps across
+    # the round loop (the masked-argmin form OOMed there).
+    CHUNK = 32768  # _slab holds 2x(CHUNK, I, 3) f32 temps (~190 MB @ I=240)
+    padN = (-N) % CHUNK
+    if padN:
+        o_p = jnp.concatenate([origin, jnp.zeros((padN, 3), jnp.float32)])
+        d_p = jnp.concatenate(
+            [direction, jnp.ones((padN, 3), jnp.float32)]
+        )
+        tm_p = jnp.concatenate([t_max, jnp.zeros((padN,), jnp.float32)])
+    else:
+        o_p, d_p, tm_p = origin, direction, t_max
+    n_ch = o_p.shape[0] // CHUNK
+
+    def chunk_fn(args):
+        o_c, d_c, tm_c = args
+        tn = _slab(o_c, d_c, scene["inst_lo"], scene["inst_hi"])
+        tn = jnp.where(tm_c[:, None] > 0.0, tn, jnp.float32(BIG))
+        neg, idx = jax.lax.top_k(-tn, K_eff)
+        return -neg, idx.astype(jnp.int32)
+
+    if n_ch > 1:
+        t_all, i_all = jax.lax.map(chunk_fn, (
+            o_p.reshape(n_ch, CHUNK, 3), d_p.reshape(n_ch, CHUNK, 3),
+            tm_p.reshape(n_ch, CHUNK),
+        ))
+        t_all = t_all.reshape(-1, K_eff)[:N]
+        i_all = i_all.reshape(-1, K_eff)[:N]
+    else:
+        t_all, i_all = chunk_fn((o_p, d_p, tm_p))
+        t_all, i_all = t_all[:N], i_all[:N]
 
     tb = jnp.full((N,), jnp.float32(BIG))
     ib = jnp.full((N,), -1, jnp.int32)
     ub = jnp.zeros((N,), jnp.float32)
     vb = jnp.zeros((N,), jnp.float32)
     nb = jnp.full((N,), -1, jnp.int32)     # hit instance id
-    remaining = tn                         # untested instance entry-ts
 
-    iota_i = jnp.arange(tn.shape[1], dtype=jnp.int32)[None, :]
-    for _ in range(ROUNDS):
-        # pick the KI nearest untested instances per ray (masked argmin
-        # over the dense matrix; no scatters)
-        t_ks, i_ks = [], []
-        rem = remaining
-        for _k in range(KI):
-            t_k = jnp.min(rem, axis=1)
-            i_k = jnp.argmin(rem, axis=1).astype(jnp.int32)
-            t_ks.append(t_k)
-            i_ks.append(i_k)
-            rem = jnp.where(iota_i == i_k[:, None], jnp.float32(BIG), rem)
-        remaining = rem
+    for rr in range(ROUNDS):
+        cols = [c for c in range(rr * KI, (rr + 1) * KI) if c < K_eff]
+        if not cols:
+            break
+        t_ks = [t_all[:, c] for c in cols]
+        i_ks = [i_all[:, c] for c in cols]
 
-        # one (KI*N)-ray dispatch per object per round
-        t_p = jnp.concatenate(t_ks)                     # (KI*N,)
+        kk = len(cols)
+        # one (kk*N)-ray dispatch per object per round
+        t_p = jnp.concatenate(t_ks)                     # (kk*N,)
         i_p = jnp.concatenate(i_ks)
         cap = jnp.minimum(t_max, tb)
-        cap_p = jnp.concatenate([cap] * KI)
+        cap_p = jnp.concatenate([cap] * kk)
         active = (t_p < cap_p) & (t_p < jnp.float32(BIG))
         inst = jnp.where(active, i_p, 0)
-        o_rep = jnp.concatenate([origin] * KI)
-        d_rep = jnp.concatenate([direction] * KI)
+        o_rep = jnp.concatenate([origin] * kk)
+        d_rep = jnp.concatenate([direction] * kk)
         inv = scene["inst_inv"][inst]                   # (KI*N, 12)
         o_l = jnp.stack([
             inv[:, 0] * o_rep[:, 0] + inv[:, 1] * o_rep[:, 1]
@@ -197,12 +225,12 @@ def instanced_closest(scene, origin, direction, t_max,
                 o_l, d_l, tm_o, obj["packed"],
                 interpret=interpret,
             )
-            M = KI * N
-            t2 = t2[:M].reshape(KI, N)
-            tri2 = tri2[:M].reshape(KI, N)
-            u2 = u2[:M].reshape(KI, N)
-            v2 = v2[:M].reshape(KI, N)
-            for k in range(KI):
+            M = kk * N
+            t2 = t2[:M].reshape(kk, N)
+            tri2 = tri2[:M].reshape(kk, N)
+            u2 = u2[:M].reshape(kk, N)
+            v2 = v2[:M].reshape(kk, N)
+            for k in range(kk):
                 hit2 = (tri2[k] >= 0) & (t2[k] < tb)
                 tb = jnp.where(hit2, t2[k], tb)
                 ib = jnp.where(hit2, tri2[k] + obj["base"], ib)

@@ -78,9 +78,17 @@ def _coherence_sort(origin, direction, world_lo, world_hi, t_max=None):
     morton = (
         (spread8(q[:, 0]) << 2) | (spread8(q[:, 1]) << 1) | spread8(q[:, 2])
     )
-    key = (oct_bits << 24) | (morton >> 3)
+    key = (oct_bits << 27) | ((morton >> 3) << 6)
+    # Fine direction bits BELOW the origin bits: merged-sample waves pack
+    # many rays per origin cell, so sub-ordering a cell by direction
+    # tightens each packet's direction cone (neutral at low density —
+    # packets then span whole cells and the low bits never tie-break).
+    ad = jnp.abs(direction)
+    amax = jnp.maximum(jnp.max(ad, axis=1, keepdims=True), 1e-12)
+    qd = jnp.clip(ad / amax * 3.999, 0.0, 3.0).astype(jnp.uint32)
+    key = key | (qd[:, 0] << 4) | (qd[:, 1] << 2) | qd[:, 2]
     if t_max is not None:
-        key = key | ((t_max <= 0.0).astype(jnp.uint32) << 27)
+        key = key | ((t_max <= 0.0).astype(jnp.uint32) << 30)
     return key
 
 
