@@ -50,8 +50,13 @@ def _setup_jax():
 
 
 def _wave_step(scene_path, film, traversal=None, max_bounces=6,
-               want_aovs=False):
-    """(step_fn, scene_pytree, params, pixel_ids, rays_per_wave)."""
+               want_aovs=False, batch_k=1):
+    """(step_fn, scene_pytree, params, pixel_ids, rays_per_wave).
+
+    batch_k > 1 wraps render_wave_batch: k samples per dispatch inside
+    one jitted program — needed when a single wave's device time is
+    comparable to the tunnel's readback RTT (cornell-brute: ~2 ms/wave
+    vs ~35 ms RTT), since the timing loop blocks every dispatch."""
     import jax
     import jax.numpy as jnp
 
@@ -59,6 +64,7 @@ def _wave_step(scene_path, film, traversal=None, max_bounces=6,
     from tracerboy_tpu.trace.wavefront import (
         make_blue_noise_params,
         render_wave,
+        render_wave_batch,
     )
     import dataclasses
 
@@ -78,27 +84,29 @@ def _wave_step(scene_path, film, traversal=None, max_bounces=6,
         firefly_clamp=jnp.float32(0.0), seed=jnp.int32(0),
         bn=make_blue_noise_params(r.scene_pytree, pixel_ids, W),
     )
-    step = jax.jit(partial(render_wave, cfg=cfg))
+    if batch_k > 1:
+        step = jax.jit(partial(render_wave_batch, k=batch_k, cfg=cfg))
+    else:
+        step = jax.jit(partial(render_wave, cfg=cfg))
     return step, r.scene_pytree, params, pixel_ids, r
 
 
 def _throughput(step, scene, params, pixel_ids, n_runs):
-    """Mrays/s with RTT-cancelling forced-readback timing."""
+    """Mrays/s, blocking on EVERY dispatch (enqueue-ahead hangs the
+    axon tunnel queue — observed 2026-08-17; per-wave device work is
+    far above the readback RTT, so min-of-runs is accurate)."""
     import jax.numpy as jnp
 
     out = step(scene, params, pixel_ids, jnp.int32(0))
     rays_per_wave = float(out["rays_traced"])
 
-    def run(n, base):
+    times = []
+    for k in range(n_runs):
         t0 = time.time()
-        for k in range(n):
-            out = step(scene, params, pixel_ids, jnp.int32(base + k))
-        float(out["rays_traced"])  # forces the whole in-order stream
-        return time.time() - t0
-
-    ta = run(n_runs, 1)
-    tb = run(3 * n_runs, 1 + n_runs)
-    per_wave = max((tb - ta) / (2 * n_runs), 1e-9)
+        out = step(scene, params, pixel_ids, jnp.int32(1 + k))
+        float(out["rays_traced"])
+        times.append(time.time() - t0)
+    per_wave = max(min(times), 1e-9)
     return rays_per_wave / per_wave / 1e6, rays_per_wave
 
 
@@ -108,9 +116,10 @@ def bench_headline(results, n_runs=100):
     (bench_config_waves) — gating on a 36-triangle brute-force config
     would overstate the traversal story (round-2 verdict)."""
     step, scene, params, pixel_ids, _ = _wave_step(
-        SCENES["cornell"], (512, 512), traversal="brute",
+        SCENES["cornell"], (512, 512), traversal="brute", batch_k=16,
     )
-    mrays, _ = _throughput(step, scene, params, pixel_ids, n_runs)
+    mrays, _ = _throughput(step, scene, params, pixel_ids,
+                           max(2, n_runs // 16))
     results["mrays/cornell-brute"] = round(mrays, 1)
     return mrays
 
@@ -138,8 +147,8 @@ def bench_config_waves(results, n_runs=6):
             mrays1, rpw = _throughput(step, scene, params, pixel_ids,
                                       n_runs)
             results[f"mrays/{name}-{r.traversal}-k1"] = round(mrays1, 2)
-            # Production merge factor: the renderer's 4M-lane budget.
-            k = max(1, min(16, 4_194_304 // pixel_ids.shape[0]))
+            # Production merge factor: the renderer's 8M-lane budget.
+            k = max(1, min(32, 8_388_608 // pixel_ids.shape[0]))
             cfg = r.wave_config()
             import dataclasses
             cfg = dataclasses.replace(cfg, max_bounces=6, want_aovs=False)

@@ -34,6 +34,7 @@ FILMS = {
 def main():
     scene_key = sys.argv[1] if len(sys.argv) > 1 else "teapot"
     kmax = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    kmin = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
     import jax
     import jax.numpy as jnp
@@ -61,22 +62,20 @@ def main():
           flush=True)
 
     def timed(step, n_runs=4):
+        # Block EVERY dispatch: enqueue-ahead hangs on this tunnel
+        # (observed 2026-08-17) and per-wave work >> RTT anyway.
         out = step(jnp.int32(0))
         rays = float(out["rays_traced"])
-
-        def run(n, base):
+        times = []
+        for q in range(n_runs):
             t0 = time.time()
-            for q in range(n):
-                out = step(jnp.int32(base + q))
+            out = step(jnp.int32(1 + q))
             float(out["rays_traced"])
-            return time.time() - t0
-
-        ta = run(n_runs, 1)
-        tb = run(3 * n_runs, 1 + n_runs)
-        per = max((tb - ta) / (2 * n_runs), 1e-9)
+            times.append(time.time() - t0)
+        per = min(times)
         return rays / per / 1e6, rays, per
 
-    k = 1
+    k = kmin
     while k <= kmax:
         if k == 1:
             step = jax.jit(lambda s: render_wave(

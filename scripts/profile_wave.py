@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--traversal", default=None)
     ap.add_argument("--waves", type=int, default=3)
     ap.add_argument("--bounces", type=int, default=6)
+    ap.add_argument("--merged-k", type=int, default=0,
+                    help="profile render_wave_merged with this k")
     ap.add_argument("--out", default="/tmp/tb_trace")
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
@@ -50,20 +52,29 @@ def main():
         SCENES[args.scene], (W, H), traversal=args.traversal,
         max_bounces=args.bounces,
     )
+    if args.merged_k:
+        import dataclasses
+        from functools import partial
+        from tracerboy_tpu.trace.wavefront import render_wave_merged
+        cfg = dataclasses.replace(r.wave_config(), max_bounces=args.bounces,
+                                  want_aovs=False)
+        mstep = jax.jit(partial(render_wave_merged, k=args.merged_k,
+                                cfg=cfg))
+        step = lambda sc, pp, pi, s: mstep(sc, pp, pi, s)
     print(f"backend={r.traversal}")
     out = step(scene, params, pixel_ids, jnp.int32(0))
     print("rays/wave:", float(out["rays_traced"]))
     # warm + time without profiler (RTT-cancelling)
     def run(n, base):
+        # block EVERY dispatch: the tunnel queue hangs on enqueue-ahead
+        # (observed 2026-08-17); per-wave work >> RTT so this is safe
         t0 = time.time()
         for k in range(n):
             o = step(scene, params, pixel_ids, jnp.int32(base + k))
-        float(o["rays_traced"])
+            float(o["rays_traced"])
         return time.time() - t0
 
-    ta = run(3, 1)
-    tb = run(9, 4)
-    per_wave = (tb - ta) / 6
+    per_wave = run(4, 1) / 4
     print(f"wall per wave: {per_wave*1e3:.1f} ms "
           f"({float(out['rays_traced'])/per_wave/1e6:.2f} Mrays/s)")
 
@@ -71,7 +82,7 @@ def main():
     with jax.profiler.trace(args.out):
         for k in range(args.waves):
             o = step(scene, params, pixel_ids, jnp.int32(100 + k))
-        float(o["rays_traced"])
+            float(o["rays_traced"])
 
     # parse the trace: sum device-op durations by name
     paths = glob.glob(os.path.join(args.out, "**", "*.trace.json.gz"),

@@ -349,8 +349,9 @@ class Renderer:
             # Packet-kernel waves merge the batch's samples into ONE
             # k*N-lane wave: the per-bounce coherence sort then packs
             # much denser packets (cross-sample regeneration; measured
-            # 0.9 -> 3.9 Mrays/s on teapot bounce waves at 8x density).
-            # Chunked so lane count stays under ~4M (sort workspace).
+            # teapot 1.97 -> 6.0 Mrays/s at 32x density). Chunked so
+            # lane count stays under ~8M (sort workspace; 7.5M-lane
+            # waves measured fine on v5e HBM).
             from tracerboy_tpu.trace.wavefront import render_wave_merged
 
             use_merged = (
@@ -358,7 +359,7 @@ class Renderer:
                 and params.get("selected_pixel") is None
             )
             if use_merged:
-                k_max = max(1, 4_194_304 // max(pixel_ids.shape[0], 1))
+                k_max = max(1, min(32, 8_388_608 // max(pixel_ids.shape[0], 1)))
                 done = 0
                 while done < n:
                     kk = min(n - done, k_max)

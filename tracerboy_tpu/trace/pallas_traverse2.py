@@ -126,6 +126,100 @@ def _node_children(rowf, row, ox, oy, oz, inv_x, inv_y, inv_z, t_cap):
     return tmins, cids, wants
 
 
+def _packet_intervals(ox, oy, oz, dx, dy, dz, live):
+    """Per-packet conservative interval state for the interval node
+    phase: origin box, direction-reciprocal intervals (infinite on
+    octant-impure axes), and the (1, 128) plane-pattern vectors used by
+    `_node_children_interval`.
+
+    All reductions mask dead lanes. Runs once per packet (~30 small
+    ops); the per-pop node test drops from ~144 full-packet vector ops
+    to ~12 (1, 128) ops + the existing push bookkeeping.
+    """
+    big = jnp.float32(BIG)
+
+    def rng_of(v):
+        return (jnp.min(jnp.where(live, v, big)),
+                jnp.max(jnp.where(live, v, -big)))
+
+    o_lo = []
+    o_hi = []
+    iv_lo = []
+    iv_hi = []
+    for ov, dv in ((ox, dx), (oy, dy), (oz, dz)):
+        lo, hi = rng_of(ov)
+        o_lo.append(lo)
+        o_hi.append(hi)
+        d_lo, d_hi = rng_of(dv)
+        pure = (d_lo > 0.0) | (d_hi < 0.0)
+        safe = lambda v: jnp.where(jnp.abs(v) < 1e-12,
+                                   jnp.where(v < 0, -1e-12, 1e-12), v)
+        a = 1.0 / safe(d_lo)
+        b = 1.0 / safe(d_hi)
+        iv_lo.append(jnp.where(pure, jnp.minimum(a, b), -big))
+        iv_hi.append(jnp.where(pure, jnp.maximum(a, b), big))
+
+    # c = -o*inv interval per axis (correlation ignored: conservative).
+    c_lo, c_hi = [], []
+    for a in range(3):
+        prods = [(-o_lo[a]) * iv_lo[a], (-o_lo[a]) * iv_hi[a],
+                 (-o_hi[a]) * iv_lo[a], (-o_hi[a]) * iv_hi[a]]
+        c_lo.append(jnp.minimum(jnp.minimum(prods[0], prods[1]),
+                                jnp.minimum(prods[2], prods[3])))
+        c_hi.append(jnp.maximum(jnp.maximum(prods[0], prods[1]),
+                                jnp.maximum(prods[2], prods[3])))
+
+    # (1, 128) pattern vectors: lane a*8+c (and 24 + a*8+c) carries
+    # axis a's scalar — matching the node-row bounds layout
+    # [lox*8 | loy*8 | loz*8 | hix*8 | hiy*8 | hiz*8].
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    axis = (lane % 24) // 8
+
+    def pattern(vals):
+        return jnp.where(axis == 0, vals[0],
+                         jnp.where(axis == 1, vals[1], vals[2]))
+
+    return dict(
+        iv_lo=pattern(iv_lo), iv_hi=pattern(iv_hi),
+        c_lo=pattern(c_lo), c_hi=pattern(c_hi),
+    )
+
+
+def _node_children_interval(rowf, row, itv, t_hi):
+    """Conservative interval (frustum) test of one wide node's 8
+    children against the whole packet — scalar/row work only.
+
+    Replaces the per-ray slab test whose per-ray results were only ever
+    reduced to (any-hit, min-t) per child: a child survives iff SOME ray
+    could hit it (max_a min_r t_near <= min_a max_r t_far bounds the
+    per-ray slab test conservatively). Exactness is preserved by the
+    per-ray drain tests; slack only costs extra drains. t_hi: scalar
+    upper bound on live rays' current best t."""
+    tp1 = rowf * itv["iv_lo"]
+    tp2 = rowf * itv["iv_hi"]
+    tmin_p = jnp.minimum(tp1, tp2) + itv["c_lo"]   # (1, 128)
+    tmax_p = jnp.maximum(tp1, tp2) + itv["c_hi"]
+    near = jnp.minimum(tmin_p[:, 0:24], tmin_p[:, 24:48])   # (1, 24)
+    far = jnp.maximum(tmax_p[:, 0:24], tmax_p[:, 24:48])
+    t_near = jnp.maximum(
+        jnp.maximum(near[:, 0:8], near[:, 8:16]), near[:, 16:24]
+    )                                                        # (1, 8)
+    t_far = jnp.minimum(
+        jnp.minimum(far[:, 0:8], far[:, 8:16]), far[:, 16:24]
+    )
+    # i32 mask: Mosaic only extracts 32-bit scalars from vectors.
+    hit_v = ((t_far >= jnp.maximum(t_near, 0.0)) & (t_near < t_hi)
+             ).astype(jnp.int32)
+
+    tmins, cids, wants = [], [], []
+    for c in range(8):
+        cid = row[0, 48 + c]
+        tmins.append(t_near[0, c])
+        cids.append(cid)
+        wants.append((hit_v[0, c] != 0) & (cid != INVALID))
+    return tmins, cids, wants
+
+
 def _tri_tests(trow, ox, oy, oz, dx, dy, dz):
     """Baldwin-Weber test for the 8 triangles of one cluster row against
     the packet (trow holds 12 precomputed floats per triangle:
@@ -171,7 +265,8 @@ def _tri_tests(trow, ox, oy, oz, dx, dy, dz):
 
 
 def _make_kernel(any_hit: bool, tris_in_hbm: bool, stats: bool = False,
-                 order: bool = True, pops_per_iter: int = 1):
+                 order: bool = True, pops_per_iter: int = 1,
+                 sub: int = SUB, interval: bool = False):
     """Build the packet-traversal kernel body.
 
     order: push children far-to-near (t-ordered stack).
@@ -232,12 +327,16 @@ def _make_kernel(any_hit: bool, tris_in_hbm: bool, stats: bool = False,
             # Per-packet state init.
             stack_ref[0] = 0
             if any_hit:
-                occ_ref[...] = jnp.zeros((SUB, LANES), jnp.float32)
+                occ_ref[...] = jnp.zeros((sub, LANES), jnp.float32)
             else:
                 tb_ref[...] = tmax
-                tri_ref[...] = jnp.full((SUB, LANES), -1, jnp.int32)
-                uu_ref[...] = jnp.zeros((SUB, LANES), jnp.float32)
-                vv_ref[...] = jnp.zeros((SUB, LANES), jnp.float32)
+                tri_ref[...] = jnp.full((sub, LANES), -1, jnp.int32)
+                uu_ref[...] = jnp.zeros((sub, LANES), jnp.float32)
+                vv_ref[...] = jnp.zeros((sub, LANES), jnp.float32)
+
+            if interval:
+                itv = _packet_intervals(ox, oy, oz, dx, dy, dz,
+                                        tmax > 0.0)
 
             def start_cluster_dma(cluster, slot):
                 return pltpu.make_async_copy(
@@ -250,7 +349,7 @@ def _make_kernel(any_hit: bool, tris_in_hbm: bool, stats: bool = False,
 
             dummy_idx = nodes_ref.shape[0] - 1
 
-            def node_phase(sp, head, tail):
+            def node_phase(sp, head, tail, t_hi):
                 # Branch-free pop: stack underflow reads the dummy node,
                 # whose inverted bounds and INVALID children are inert.
                 have = sp > 0
@@ -260,15 +359,20 @@ def _make_kernel(any_hit: bool, tris_in_hbm: bool, stats: bool = False,
                 sp = sp - jnp.where(have, 1, 0)
                 row = nodes_ref[pl.ds(node, 1), :]
                 rowf = fbits(row)
-                if any_hit:
-                    # Occluded lanes stop driving traversal.
-                    t_cap = jnp.where(occ_ref[...] > 0.0,
-                                      jnp.float32(-BIG), tmax)
+                if interval:
+                    tmins, cids, wants = _node_children_interval(
+                        rowf, row, itv, t_hi
+                    )
                 else:
-                    t_cap = tb_ref[...]
-                tmins, cids, wants = _node_children(
-                    rowf, row, ox, oy, oz, inv_x, inv_y, inv_z, t_cap
-                )
+                    if any_hit:
+                        # Occluded lanes stop driving traversal.
+                        t_cap = jnp.where(occ_ref[...] > 0.0,
+                                          jnp.float32(-BIG), tmax)
+                    else:
+                        t_cap = tb_ref[...]
+                    tmins, cids, wants = _node_children(
+                        rowf, row, ox, oy, oz, inv_x, inv_y, inv_z, t_cap
+                    )
                 if order and not any_hit:
                     tmins, cids, wants = _sort_children_far_first(
                         tmins, cids, wants
@@ -291,9 +395,9 @@ def _make_kernel(any_hit: bool, tris_in_hbm: bool, stats: bool = False,
                         def _():
                             start_cluster_dma(cluster, slot).start()
                     tail = tail + q_int
-                return sp, head, tail
+                return sp, head, tail, t_hi
 
-            def drain_phase(sp, head, tail):
+            def drain_phase(sp, head, tail, t_hi):
                 count = jnp.minimum(tail - head, DRAIN_BATCH)
                 if any_hit:
                     occ = occ_ref[...]
@@ -331,34 +435,48 @@ def _make_kernel(any_hit: bool, tris_in_hbm: bool, stats: bool = False,
                             vb = jnp.where(ok, vv, vb)
                 if any_hit:
                     occ_ref[...] = occ
+                    if interval:
+                        # Tighten the packet t-bound: once every lane is
+                        # occluded t_hi drops below 0 and traversal ends.
+                        t_hi = jnp.max(
+                            jnp.where(occ > 0.0, jnp.float32(-BIG), tmax)
+                        )
                 else:
                     tb_ref[...] = tb
                     tri_ref[...] = tribest
                     uu_ref[...] = ub
                     vv_ref[...] = vb
-                return sp, head + count, tail
+                    if interval:
+                        t_hi = jnp.minimum(t_hi, jnp.max(tb))
+                return sp, head + count, tail, t_hi
 
             def cond(state):
-                sp, head, tail, pops = state
+                sp, head, tail, pops, t_hi = state
                 return (sp > 0) | (tail > head)
 
             def body(state):
-                sp, head, tail, pops = state
+                sp, head, tail, pops, t_hi = state
                 for _ in range(pops_per_iter):
                     pops = pops + jnp.where(sp > 0, 1, 0)
-                    sp, head, tail = node_phase(sp, head, tail)
+                    sp, head, tail, t_hi = node_phase(sp, head, tail, t_hi)
                     do_drain = (tail - head >= DRAIN_BATCH) | (
                         (sp == 0) & (tail > head)
                     )
-                    sp, head, tail = lax.cond(
+                    sp, head, tail, t_hi = lax.cond(
                         do_drain, drain_phase,
-                        lambda s, h, t: (s, h, t), sp, head, tail,
+                        lambda s, h, t, th: (s, h, t, th),
+                        sp, head, tail, t_hi,
                     )
-                return sp, head, tail, pops
+                return sp, head, tail, pops, t_hi
 
-            _, clusters_done, _, pops = lax.while_loop(
+            # All-dead packets must not traverse: with no live lane the
+            # bound is -BIG and the root's children all fail
+            # `t_near < t_hi`.
+            t_hi0 = jnp.max(jnp.where(tmax > 0.0, tmax, jnp.float32(-BIG)))
+            _, clusters_done, _, pops, _ = lax.while_loop(
                 cond, body,
-                (jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+                (jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                 t_hi0),
             )
             if stats:
                 stats_out[pp, 0:1, :] = jnp.full(
@@ -401,10 +519,10 @@ def _with_dummy(nodes):
     return jnp.concatenate([nodes, jnp.asarray(_dummy_node_row())], axis=0)
 
 
-def _reshape_in(orig, direc, t_max, n_packets):
-    o_t = orig.T.reshape(3, n_packets, SUB, LANES).swapaxes(0, 1)
-    d_t = direc.T.reshape(3, n_packets, SUB, LANES).swapaxes(0, 1)
-    tm = t_max.reshape(n_packets, SUB, LANES)
+def _reshape_in(orig, direc, t_max, n_packets, sub=SUB):
+    o_t = orig.T.reshape(3, n_packets, sub, LANES).swapaxes(0, 1)
+    d_t = direc.T.reshape(3, n_packets, sub, LANES).swapaxes(0, 1)
+    tm = t_max.reshape(n_packets, sub, LANES)
     return o_t, d_t, tm
 
 
@@ -421,10 +539,12 @@ def _pad_rays(orig, direc, t_max, block_rays):
 
 
 @partial(jax.jit, static_argnames=("interpret", "tris_in_hbm", "stats",
-                                   "order", "pops_per_iter"))
+                                   "order", "pops_per_iter", "sub",
+                                   "interval"))
 def traverse_packets2(orig, direc, t_max, packed, interpret: bool = False,
                       tris_in_hbm: bool = False, stats: bool = False,
-                      order: bool = True, pops_per_iter: int = 1):
+                      order: bool = True, pops_per_iter: int = 1,
+                      sub: int = SUB, interval: bool = False):
     """Closest-hit packet traversal (v2 kernel).
 
     Same contract as pallas_traverse.traverse_packets: returns
@@ -435,21 +555,21 @@ def traverse_packets2(orig, direc, t_max, packed, interpret: bool = False,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    orig, direc, t_max, N, Np = _pad_rays(
-        orig, direc, t_max, PACKET * PACKETS_PER_BLOCK
-    )
-    n_packets = Np // PACKET
-    n_blocks = n_packets // PACKETS_PER_BLOCK
-    PPB = PACKETS_PER_BLOCK
-    o_t, d_t, tm = _reshape_in(orig, direc, t_max, n_packets)
+    packet = sub * LANES
+    ppb = max(1, (PACKET * PACKETS_PER_BLOCK) // packet)
+    orig, direc, t_max, N, Np = _pad_rays(orig, direc, t_max, packet * ppb)
+    n_packets = Np // packet
+    n_blocks = n_packets // ppb
+    PPB = ppb
+    o_t, d_t, tm = _reshape_in(orig, direc, t_max, n_packets, sub)
 
     scratch = [
         pltpu.SMEM((STACK_DEPTH,), jnp.int32),
         pltpu.SMEM((QUEUE_RING,), jnp.int32),
-        pltpu.VMEM((SUB, LANES), jnp.float32),   # t_best
-        pltpu.VMEM((SUB, LANES), jnp.int32),     # tri_best
-        pltpu.VMEM((SUB, LANES), jnp.float32),   # u
-        pltpu.VMEM((SUB, LANES), jnp.float32),   # v
+        pltpu.VMEM((sub, LANES), jnp.float32),   # t_best
+        pltpu.VMEM((sub, LANES), jnp.int32),     # tri_best
+        pltpu.VMEM((sub, LANES), jnp.float32),   # u
+        pltpu.VMEM((sub, LANES), jnp.float32),   # v
     ]
     if tris_in_hbm:
         scratch += [
@@ -461,11 +581,11 @@ def traverse_packets2(orig, direc, t_max, packed, interpret: bool = False,
         num_scalar_prefetch=0,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((PPB, 3, SUB, LANES), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((PPB, 3, sub, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PPB, 3, SUB, LANES), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((PPB, 3, sub, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PPB, SUB, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((PPB, sub, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes
             pl.BlockSpec(
@@ -473,7 +593,7 @@ def traverse_packets2(orig, direc, t_max, packed, interpret: bool = False,
             ),                                       # tris
         ],
         out_specs=[
-            pl.BlockSpec((PPB, SUB, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((PPB, sub, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(4 + int(stats))
         ],
@@ -482,7 +602,8 @@ def traverse_packets2(orig, direc, t_max, packed, interpret: bool = False,
 
     out = pl.pallas_call(
         _make_kernel(any_hit=False, tris_in_hbm=tris_in_hbm, stats=stats,
-                     order=order, pops_per_iter=pops_per_iter),
+                     order=order, pops_per_iter=pops_per_iter, sub=sub,
+                     interval=interval),
         grid_spec=grid_spec,
         # Large node tables (vw-van: 21 MB) exceed the default 16 MB
         # scoped-vmem budget; raise it (v5e VMEM is 128 MB).
@@ -490,13 +611,13 @@ def traverse_packets2(orig, direc, t_max, packed, interpret: bool = False,
             vmem_limit_bytes=100 * 2**20
         ),
         out_shape=(
-            [jax.ShapeDtypeStruct((n_packets, SUB, LANES), jnp.float32)]
+            [jax.ShapeDtypeStruct((n_packets, sub, LANES), jnp.float32)]
             * int(stats)
         ) + [
-            jax.ShapeDtypeStruct((n_packets, SUB, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_packets, SUB, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((n_packets, SUB, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_packets, SUB, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_packets, sub, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_packets, sub, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_packets, sub, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_packets, sub, LANES), jnp.float32),
         ],
         interpret=interpret,
     )(o_t, d_t, tm, _with_dummy(packed["nodes"]), packed["tris_bw"])
@@ -515,27 +636,28 @@ def traverse_packets2(orig, direc, t_max, packed, interpret: bool = False,
 
 
 @partial(jax.jit, static_argnames=("interpret", "tris_in_hbm",
-                                   "pops_per_iter"))
+                                   "pops_per_iter", "sub", "interval"))
 def anyhit_packets2(orig, direc, t_max, packed, interpret: bool = False,
-                    tris_in_hbm: bool = False, pops_per_iter: int = 1):
+                    tris_in_hbm: bool = False, pops_per_iter: int = 1,
+                    sub: int = SUB, interval: bool = False):
     """Occlusion-only packet traversal: True where any triangle lies in
     (0, t_max). Early-exits bookkeeping the closest-hit kernel pays for;
     shadow waves are ~half of all traced rays."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    orig, direc, t_max, N, Np = _pad_rays(
-        orig, direc, t_max, PACKET * PACKETS_PER_BLOCK
-    )
-    n_packets = Np // PACKET
-    n_blocks = n_packets // PACKETS_PER_BLOCK
-    PPB = PACKETS_PER_BLOCK
-    o_t, d_t, tm = _reshape_in(orig, direc, t_max, n_packets)
+    packet = sub * LANES
+    ppb = max(1, (PACKET * PACKETS_PER_BLOCK) // packet)
+    orig, direc, t_max, N, Np = _pad_rays(orig, direc, t_max, packet * ppb)
+    n_packets = Np // packet
+    n_blocks = n_packets // ppb
+    PPB = ppb
+    o_t, d_t, tm = _reshape_in(orig, direc, t_max, n_packets, sub)
 
     scratch = [
         pltpu.SMEM((STACK_DEPTH,), jnp.int32),
         pltpu.SMEM((QUEUE_RING,), jnp.int32),
-        pltpu.VMEM((SUB, LANES), jnp.float32),   # occluded mask
+        pltpu.VMEM((sub, LANES), jnp.float32),   # occluded mask
     ]
     if tris_in_hbm:
         scratch += [
@@ -547,11 +669,11 @@ def anyhit_packets2(orig, direc, t_max, packed, interpret: bool = False,
         num_scalar_prefetch=0,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((PPB, 3, SUB, LANES), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((PPB, 3, sub, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PPB, 3, SUB, LANES), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((PPB, 3, sub, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PPB, SUB, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((PPB, sub, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(
@@ -559,7 +681,7 @@ def anyhit_packets2(orig, direc, t_max, packed, interpret: bool = False,
             ),
         ],
         out_specs=[
-            pl.BlockSpec((PPB, SUB, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((PPB, sub, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=scratch,
@@ -567,13 +689,14 @@ def anyhit_packets2(orig, direc, t_max, packed, interpret: bool = False,
 
     (occ,) = pl.pallas_call(
         _make_kernel(any_hit=True, tris_in_hbm=tris_in_hbm,
-                     pops_per_iter=pops_per_iter),
+                     pops_per_iter=pops_per_iter, sub=sub,
+                     interval=interval),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((n_packets, SUB, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_packets, sub, LANES), jnp.float32),
         ],
         interpret=interpret,
     )(o_t, d_t, tm, _with_dummy(packed["nodes"]), packed["tris_bw"])

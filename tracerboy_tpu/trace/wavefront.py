@@ -25,6 +25,7 @@ Known deliberate deviations from the reference (all bias-reducing):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -43,6 +44,13 @@ from tracerboy_tpu.scene.materials import (
 from tracerboy_tpu.shade import bsdf
 from tracerboy_tpu.trace.traverse import traverse_wide
 from tracerboy_tpu.trace.intersect import BIG
+
+# Experiment knob: packet height (sub-rows of 128 lanes) for the v2
+# packet kernels. 16 (= 2048-ray packets) is the measured production
+# default; override to A/B union-tax vs per-op efficiency at different
+# merged-wave densities.
+_PACKET_SUB = int(os.environ.get("TB_PACKET_SUB", "16"))
+_INTERVAL_NODES = os.environ.get("TB_INTERVAL_NODES", "0") == "1"
 
 EPSILON = 1e-4
 MIN_BOUNCES_BEFORE_RR = 2  # kernel.glsl:1276-1277
@@ -159,10 +167,7 @@ def _pallas_closest(scene, origin, direction, t_max, shadow: bool,
     (node pops + leaf clusters of the ray's packet — the packet-shared
     analog of the reference's per-ray box/tri counters,
     TraverseFunction.hlsli:46-47) for the heatmap AOV."""
-    from tracerboy_tpu.trace.pallas_traverse2 import (
-        PACKET as PK_PACKET,
-        traverse_packets2,
-    )
+    from tracerboy_tpu.trace.pallas_traverse2 import traverse_packets2
 
     o_s, d_s, tmax_p, packed, tris_in_hbm, sidx, prefix = _pallas_sorted(
         scene, origin, direction, t_max, shadow, compact=compact
@@ -170,11 +175,11 @@ def _pallas_closest(scene, origin, direction, t_max, shadow: bool,
     N = sidx.shape[0]
     out = traverse_packets2(
         o_s, d_s, tmax_p, packed, tris_in_hbm=tris_in_hbm,
-        stats=want_stats,
+        stats=want_stats, sub=_PACKET_SUB, interval=_INTERVAL_NODES,
     )
     if want_stats:
         t, tri, u, v, st = out
-        cost = jnp.repeat(st[:, 0] + st[:, 1], PK_PACKET)
+        cost = jnp.repeat(st[:, 0] + st[:, 1], _PACKET_SUB * 128)
         _, t, tri, u, v, cost = jax.lax.sort(
             (sidx, t[:N], tri[:N], u[:N], v[:N], cost[:N]), num_keys=1
         )
@@ -196,7 +201,8 @@ def _pallas_anyhit(scene, origin, direction, t_max, compact: bool = True):
     )
     N = sidx.shape[0]
     occ = anyhit_packets2(
-        o_s, d_s, tmax_p, packed, tris_in_hbm=tris_in_hbm
+        o_s, d_s, tmax_p, packed, tris_in_hbm=tris_in_hbm,
+        sub=_PACKET_SUB, interval=_INTERVAL_NODES,
     )
     _, occ = jax.lax.sort(
         (sidx, occ[:N].astype(jnp.int32)), num_keys=1
