@@ -114,3 +114,45 @@ def test_v2_dead_rays_ignored(rng):
         )
     )
     assert not occ[::2].any()
+
+
+def test_v2_sub_parameter_parity(rng):
+    """Packet height (sub=) must not change results: 512/1024-ray
+    packets vs the default 2048 (static knob, TB_PACKET_SUB)."""
+    v0, v1, v2 = make_scene(rng, 1500)
+    packed, _ = pack_scene_for_pallas(v0, v1, v2)
+    o, d = make_rays(rng, PACKET)
+    tmax = np.full((PACKET,), 1e30, np.float32)
+    base = traverse_packets2(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmax), packed,
+        interpret=True,
+    )
+    for sub in (8, 4):
+        got = traverse_packets2(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmax), packed,
+            interpret=True, sub=sub,
+        )
+        for a, b in zip(base, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_v2_interval_nodes_parity(rng):
+    """Interval (frustum) node phase is conservative-only: identical
+    final hits to the per-ray slab phase, including dead lanes and
+    mixed-octant packets. (Measured 10x slower in production — kept as
+    a correct, documented-negative knob.)"""
+    v0, v1, v2 = make_scene(rng, 1500)
+    packed, _ = pack_scene_for_pallas(v0, v1, v2)
+    o, d = make_rays(rng, PACKET)
+    d[: PACKET // 2] = np.abs(d[: PACKET // 2])  # octant-pure half
+    tmax = np.full((PACKET,), 1e30, np.float32)
+    tmax[100:200] = 0.0                          # dead lanes
+    args = (jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmax), packed)
+    a = traverse_packets2(*args, interpret=True, interval=False)
+    b = traverse_packets2(*args, interpret=True, interval=True)
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                               rtol=1e-6)
+    assert (np.asarray(a[1]) == np.asarray(b[1])).mean() > 0.999
+    occ_a = anyhit_packets2(*args, interpret=True, interval=False)
+    occ_b = anyhit_packets2(*args, interpret=True, interval=True)
+    np.testing.assert_array_equal(np.asarray(occ_a), np.asarray(occ_b))
