@@ -34,7 +34,7 @@ def main():
     ap.add_argument(
         "--which",
         default="dense-mt,row-gather,plane-gather,sort-carry,argsort-take,"
-                "scatter-add",
+                "unsort,scatter-add",
     )
     args = ap.parse_args()
 
@@ -120,6 +120,32 @@ def main():
             return vals[0][0]
 
         measure("argsort-take", body, N, "rows")
+
+    if "unsort" in which:
+        # The wavefront's per-bounce unsort: permute 4 hit planes back
+        # to ray order given the saved pre-sort index sidx.
+        sidx = jnp.asarray(rng.permutation(N).astype(np.int32))
+        hit_planes = [jnp.asarray(rng.random(N, np.float32))
+                      for _ in range(4)]
+
+        def body_carry(s):
+            out = jax.lax.sort(
+                (sidx, hit_planes[0] * (1 + s * 1e-7), hit_planes[1],
+                 hit_planes[2], hit_planes[3]), num_keys=1)
+            return out[1][0]
+
+        measure("unsort-carry", body_carry, N, "rows")
+
+        def body_gather(s):
+            iota = jnp.arange(N, dtype=jnp.int32)
+            _, inv = jax.lax.sort((sidx, iota), num_keys=1)
+            table = jnp.stack(
+                [hit_planes[0] * (1 + s * 1e-7), hit_planes[1],
+                 hit_planes[2], hit_planes[3]], axis=1)   # (N, 4)
+            rows = table[inv]
+            return rows[0, 0]
+
+        measure("unsort-gathr", body_gather, N, "rows")
 
     if "scatter-add" in which:
         def body(s):

@@ -306,11 +306,15 @@ class CompiledScene:
         )
         import jax.numpy as jnp
 
+        # The raw 9-float rows (pk["tris"]) feed only the v1 oracle and
+        # the binned packer — not the production v2 kernel (Baldwin-
+        # Weber rows). Keeping them out of the pytree saves 135 MB of
+        # HBM + upload on vw-van-scale scenes.
         out = dict(
-            pk_nodes=pk["nodes"], pk_tris=pk["tris"],
+            pk_nodes=pk["nodes"],
             pk_tris_bw=pk["tris_bw"],
             pk_tri_map=pk["tri_map"],
-            pk_sh_nodes=pk_sh["nodes"], pk_sh_tris=pk_sh["tris"],
+            pk_sh_nodes=pk_sh["nodes"],
             pk_sh_tris_bw=pk_sh["tris_bw"],
             pk_sh_tri_map=jnp.asarray(so_idx.astype(np.int32))[
                 pk_sh["tri_map"]

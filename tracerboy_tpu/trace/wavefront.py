@@ -143,12 +143,15 @@ def _pallas_sorted(scene, origin, direction, t_max, shadow: bool,
                   tris_bw=scene[prefix + "tris_bw"])
     # Static scene fact: stream leaf clusters from HBM (DMA started at
     # enqueue time, waited at drain) only when nodes + clusters would
-    # not fit the kernel's 100 MB scoped-VMEM budget (with ~12 MB of
-    # headroom for ray blocks + scratch). Measured on vw-van (89 MB of
-    # tables): VMEM-resident beats the DMA ring by 12-38%.
+    # not fit the kernel's 100 MB scoped-VMEM budget. Actual non-table
+    # VMEM need is ~3 MB (8-packet ray/output blocks + (16,128)
+    # scratch), so the threshold is 96 MB — vw-van's 88.6 MB of tables
+    # now stays resident (round-2 measured VMEM-resident beating the
+    # DMA ring by 12-38%; the old 88 MB threshold pushed vw-van to the
+    # ring by 0.6 MB).
     table_bytes = (packed["tris_bw"].shape[0]
                    + packed["nodes"].shape[0]) * 512
-    tris_in_hbm = table_bytes > 88 * 2**20
+    tris_in_hbm = table_bytes > 96 * 2**20
     return o_s, d_s, tmax_s, packed, tris_in_hbm, sidx, prefix
 
 
