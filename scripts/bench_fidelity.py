@@ -18,9 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SCENES = {
     "cornell": ("/root/reference/Scenes/cornell-box/scene.pbrt",
-                (512, 512), "goldens/cornell-512.exr"),
+                (512, 512), "goldens/cornell_512.exr"),
     "vw-van": ("/root/reference/Scenes/vw-van/vw-van.pbrt",
-               (512, 320), "goldens/vw-van-512x320.exr"),
+               (512, 320), "goldens/vwvan_512x320.exr"),
 }
 
 

@@ -37,6 +37,10 @@ def build_parser():
                    choices=["reinhard", "aces", "clamp", "uncharted",
                             "pbr_neutral", "agx", "agx_punchy", "gt"])
     p.add_argument("--no-nee", action="store_true")
+    p.add_argument("--env-nee", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="environment NEE with MIS: auto = on when the "
+                        "env dome is the scene's only light")
     p.add_argument("--ris", action="store_true",
                    help="enable reservoir (RIS) light sampling")
     p.add_argument("--no-auto-exposure", action="store_true")
@@ -110,6 +114,7 @@ def main(argv=None):
         perf,
         enable_next_event_estimation=not args.no_nee,
         enable_sampling_importance_resampling=args.ris,
+        environment_nee=args.env_nee,
         **({"max_bounces": args.max_bounces} if args.max_bounces else {}),
     )
     post = dataclasses.replace(

@@ -21,13 +21,16 @@ from tracerboy_tpu.post.temporal import temporal_accumulate
 
 
 def composite_albedo(albedo, diffuse_contribution, indirect, emissive):
-    """CompositeAlbedoCS.hlsl:17-26."""
-    spec = 1.0 - diffuse_contribution
-    return (
-        albedo * indirect * diffuse_contribution[..., None]
-        + indirect * spec[..., None]
-        + emissive
-    )
+    """CompositeAlbedoCS.hlsl:17-26.
+
+    diffuse_contribution may be the reference's per-pixel scalar
+    ((H, W), AlbedoTexture.w) or the exact per-channel ratio
+    D/I ((H, W, 3)) from the two-plane demodulated trace
+    (render_wave's radiance_d output)."""
+    dc = diffuse_contribution
+    if dc.ndim == indirect.ndim - 1:
+        dc = dc[..., None]
+    return albedo * indirect * dc + indirect * (1.0 - dc) + emissive
 
 
 def realtime_frame(

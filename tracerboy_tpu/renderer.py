@@ -54,6 +54,17 @@ def _zeros(h, w, c=4):
     return jnp.zeros((h, w, c), jnp.float32)
 
 
+def _demod_ratio(rad_d, rad):
+    """Per-channel albedo-modulation ratio D/I for composite_albedo.
+
+    Pixels with no indirect light (I == 0) composite to E regardless of
+    the ratio; 1.0 keeps the miss-pixel convention (albedo = 0 there)."""
+    return jnp.clip(
+        jnp.where(rad > 1e-12, rad_d / jnp.maximum(rad, 1e-12), 1.0),
+        0.0, 1.0,
+    )
+
+
 class Renderer:
     def __init__(
         self,
@@ -211,6 +222,13 @@ class Renderer:
             compact_dead_rays=perf.enable_ray_compaction,
             decouple_albedo=(s.render_mode == RenderMode.REAL_TIME),
             has_env=self.compiled.has_env,
+            env_nee=bool(
+                self.compiled.has_env
+                and perf.environment_nee != "off"
+                and (perf.environment_nee == "on"
+                     or (self.compiled.num_lights == 0
+                         and perf.enable_next_event_estimation))
+            ),
             has_mix=bool(
                 (np.asarray(self.compiled.materials["flags"]) & 0x8).any()
             ),
@@ -454,7 +472,7 @@ class Renderer:
                 aovs=dict(
                     albedo=z3, normal=z3, world_pos=_zeros(h, w, 4),
                     emissive=z3,
-                    diffuse_contrib=jnp.zeros((h, w), jnp.float32),
+                    diffuse_contrib=z3,
                 ),
             )
         first = frame == 0
@@ -513,9 +531,16 @@ class Renderer:
                         am, out["emissive"].reshape(h, w, 3),
                         ha["emissive"],
                     ),
+                    # Exact per-channel demodulation ratio D/I from the
+                    # two-plane trace (not the reference's AlbedoTexture.w
+                    # scalar): composite(albedo, D/I, I, E) == plain
+                    # radiance per sample.
                     diffuse_contrib=jnp.where(
-                        am[..., 0],
-                        out["diffuse_contrib"].reshape(h, w),
+                        am,
+                        _demod_ratio(
+                            out["radiance_d"].reshape(h, w, 3),
+                            out["radiance"].reshape(h, w, 3),
+                        ),
                         ha["diffuse_contrib"],
                     ),
                 )
@@ -596,7 +621,10 @@ class Renderer:
                  out["neighbor_dist"].reshape(h, w, 1)], axis=-1,
             ),
             emissive=out["emissive"].reshape(h, w, 3),
-            diffuse_contrib=out["diffuse_contrib"].reshape(h, w),
+            diffuse_contrib=_demod_ratio(
+                out["radiance_d"].reshape(h, w, 3),
+                out["radiance"].reshape(h, w, 3),
+            ),
         )
         if not hasattr(self, "_rt_history"):
             self._rt_history = {}

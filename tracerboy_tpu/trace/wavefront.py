@@ -451,6 +451,17 @@ class WaveConfig:
     use_blue_noise: bool = True
     decouple_albedo: bool = False   # RealTime mode: first-hit albedo out
     has_env: bool = True
+    # Environment NEE with balance-heuristic MIS. The reference reaches
+    # its environment ONLY through BSDF-sampled rays that escape
+    # (kernel.glsl:1327-1343); for env-lit scenes (vw-van renders under
+    # the fallback dome — zero light records) every path is a binary
+    # escape test, which is the dominant 8-spp variance. When enabled,
+    # each diffuse-capable vertex additionally samples a cosine
+    # direction toward the dome, traces an occlusion ray, and adds the
+    # full-BSDF-weighted env radiance; the BSDF-escape contribution
+    # recorded at miss time is MIS-downweighted by p/(p+q) so the
+    # estimator stays unbiased (goldens unchanged in expectation).
+    env_nee: bool = False
     # Compile-time scene facts: scenes without mix materials / textures
     # skip those fetch paths entirely.
     has_mix: bool = True
@@ -532,6 +543,32 @@ def make_blue_noise_params(scene, pixel_ids, width: int):
     b1 = scene["blue1_t"]
     return (b0[0][idx], b0[1][idx], b0[2][idx], b0[3][idx],
             b1[2][idx], b1[3][idx])
+
+
+ATTR_GATHER_CHUNK = 2_097_152
+
+
+def _gather_rows_chunked(table, idx):
+    """Row-gather `table[idx]` transposed to (width, N) with a bounded
+    intermediate. The direct (N, 19) gather output tiles to (8, 128)
+    and pads the 19-lane minor dim to 128 (6.7x) — at 30M merged lanes
+    that is a 14 GB HLO temp (OOMed teapot k=128 on v5e). lax.map over
+    ATTR_GATHER_CHUNK-lane chunks bounds it; each per-chunk transpose
+    lands in the thin (width, N) layout (1.26x padding)."""
+    n = idx.shape[0]
+    pad = (-n) % ATTR_GATHER_CHUNK
+    tp = jnp.concatenate(
+        [idx, jnp.zeros((pad,), idx.dtype)]
+    ).reshape(-1, ATTR_GATHER_CHUNK)
+
+    def chunk(ix):
+        rows = table[ix]
+        rows = jax.lax.optimization_barrier(rows)
+        return rows.T                                # (w, CHUNK)
+
+    planes = jax.lax.map(chunk, tp)                  # (nc, w, CHUNK)
+    w_tab = planes.shape[1]
+    return jnp.swapaxes(planes, 0, 1).reshape(w_tab, -1)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -681,6 +718,10 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
 
             return _take_cols(scene["tri_attr_t"], tric)
         n_rows = 19 if cfg.has_normal_maps else 16
+        N_l = tric.shape[0]
+        if N_l > 2 * ATTR_GATHER_CHUNK:
+            planes = _gather_rows_chunked(scene[attr_key], tric)
+            return tuple(planes[j, :N_l] for j in range(n_rows))
         rows = scene[attr_key][tric]                 # (N, 19)
         # Keep the transpose OUT of the gather fusion: fused together,
         # XLA emits a strided-read gather that costs 4 ms/bounce
@@ -712,7 +753,9 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         # (N, 12) quad-row gather for every lane (1.07 ms/bounce
         # measured; 6x saved on a 6-bounce wave).
         state["env_throughput"] = vzero3
-        if cfg.want_aovs:
+        if cfg.env_nee:
+            state["env_mis_w"] = one
+        if cfg.want_aovs or cfg.decouple_albedo:
             state["first_miss"] = vz != 0.0
     if cfg.want_aovs:
         state.update(
@@ -729,6 +772,18 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
             viz_rays=jnp.zeros((cfg.max_bounces, 8), jnp.float32)
             + jnp.sum(vz),
         )
+    if cfg.decouple_albedo:
+        # Two-plane demodulation: rad_d accumulates the share of each
+        # radiance contribution that the first-hit albedo modulates,
+        # and dc_w carries that lane's first-vertex diffuse fraction
+        # phi (plastic: dm/(dm+fs); metal/lambert: 1; SSS/never-shaded:
+        # 0). composite = albedo*D + (I-D) + E is then EXACT per
+        # sample — unlike the reference's single scalar in
+        # AlbedoTexture.w (kernel.glsl:1762), which cannot represent
+        # contributions with different diffuse fractions (NEE/env-NEE
+        # directions vs the continuation lobe).
+        state["rad_d"] = vzero3
+        state["dc_w"] = zero
 
     def bounce(i, s):
         alive = s["alive"]
@@ -797,10 +852,17 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         # preserved in state (dead lanes stop updating it). The single
         # env fetch happens after the bounce loop.
         if cfg.has_env:
+            rec = s["throughput"]
+            if cfg.env_nee:
+                # MIS: the BSDF-escape estimator is balance-weighted
+                # against the env-NEE estimator taken at the PREVIOUS
+                # vertex (w = pdf_bsdf/(pdf_bsdf + pdf_cos), carried in
+                # env_mis_w; 1.0 for primary/specular/volume lanes).
+                rec = rec * s["env_mis_w"]
             s["env_throughput"] = v3.where(
-                miss, s["throughput"], s["env_throughput"]
+                miss, rec, s["env_throughput"]
             )
-            if cfg.want_aovs:
+            if cfg.want_aovs or cfg.decouple_albedo:
                 s["first_miss"] = s["first_miss"] | (miss & (i == 0))
         alive = alive & ~miss
 
@@ -955,8 +1017,21 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
             s["prev_perfect_specular"] | (i == 0) | ~is_light
             | (not cfg.enable_nee)
         )
+        add_emissive = shading & take_emissive
+        if cfg.decouple_albedo:
+            # First-hit emissive rides the E AOV plane EXCLUSIVELY so
+            # the composite (albedo*D + (I-D) + E) does not count it
+            # twice; later-bounce emissive is a throughput-modulated
+            # contribution like any other.
+            add_emissive = add_emissive & (i > 0)
+            s["rad_d"] = v3.where(
+                add_emissive,
+                s["rad_d"] + s["throughput"] * mat["emissive"]
+                * s["dc_w"],
+                s["rad_d"],
+            )
         s["radiance"] = v3.where(
-            shading & take_emissive,
+            add_emissive,
             s["radiance"] + s["throughput"] * mat["emissive"],
             s["radiance"],
         )
@@ -1043,6 +1118,13 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
             )
             add = do_nee & ~occluded
             nee_albedo = mat["albedo"]
+            if cfg.decouple_albedo:
+                # Demodulate the first vertex's direct light: NEE is
+                # diffuse-weighted (kernel.glsl:1515), so its albedo
+                # factor is exactly what the composite re-applies.
+                nee_albedo = v3.where(
+                    (i == 0) & shading, V3(one, one, one), nee_albedo
+                )
             if cfg.has_volume:
                 from tracerboy_tpu.shade.volumetric import transmittance
 
@@ -1065,6 +1147,16 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
             s["radiance"] = v3.where(
                 add, s["radiance"] + contrib * light_mult, s["radiance"]
             )
+            if cfg.decouple_albedo:
+                # Diffuse NEE at the first SURFACE vertex is fully
+                # albedo-modulated (w=1); a first-bounce VOLUME vertex
+                # never writes the albedo AOV, so its weight stays the
+                # lane's dc_w (0 unless it shaded at i==0).
+                w_nee = jnp.where((i == 0) & shading, 1.0, s["dc_w"])
+                s["rad_d"] = v3.where(
+                    add, s["rad_d"] + contrib * light_mult * w_nee,
+                    s["rad_d"],
+                )
 
         died_on_light = shading & is_light
 
@@ -1149,8 +1241,19 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
             (albedo.y * diffuse_multiplier + fresnel * spec_w) * cos_sat,
             (albedo.z * diffuse_multiplier + fresnel * spec_w) * cos_sat,
         )
-        diffuse_contrib = (albedo.x * diffuse_multiplier) / jnp.maximum(
-            (diffuse_multiplier + fresnel * spec_w) * cos_sat, 1e-8
+        # Demodulation blend ratio (CompositeAlbedoCS.hlsl:22-25). The
+        # reference divides by saturate(cos) unguarded (kernel.glsl:1762),
+        # which inflates the ratio at grazing angles and emits inf when
+        # the sampled lobe falls below the surface. The EXACT identity —
+        # composite(white-albedo trace) == plain trace per sample — is
+        # cos-free: plastic_mult = (albedo*dm + fs)*cos, so the
+        # albedo-modulated fraction is dm/(dm + fs). Clamped to [0,1]
+        # (it is a convex blend weight).
+        diffuse_contrib = jnp.clip(
+            (albedo.x * diffuse_multiplier) / jnp.maximum(
+                diffuse_multiplier + fresnel * spec_w, 1e-8
+            ),
+            0.0, 1.0,
         )
         lambert_mult = albedo * diffuse_brdf_soa(new_dir, detail_normal)
 
@@ -1160,6 +1263,131 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         )
         surface_mult = v3.where(surf_sss, V3(one, one, one), surface_mult)
         surface_scale = jnp.where(surf_sss, 1.0, inv_pdf)
+
+        if cfg.decouple_albedo:
+            # First-vertex diffuse fraction phi: the share of this
+            # vertex's continuation multiplier that the (white-
+            # substituted) albedo modulates. SSS/dielectric boundaries
+            # apply no albedo (tint lives in the medium) -> 0.
+            phi = jnp.where(
+                surf_sss, 0.0,
+                jnp.where(is_metal | ~allows_spec, 1.0, diffuse_contrib),
+            )
+            s["dc_w"] = jnp.where(first, phi, s["dc_w"])
+
+        # --- environment NEE with MIS ------------------------------------
+        # No reference analog: kernel.glsl reaches the environment ONLY
+        # via BSDF-sampled rays that escape (kernel.glsl:1327-1343), so
+        # env-lit scenes (vw-van renders under the fallback dome — zero
+        # light records) see every path as a binary escape test. Here
+        # each diffuse-capable vertex additionally draws a cosine sample
+        # toward the dome, traces an occlusion ray, and adds the
+        # full-BSDF-weighted env radiance; both estimators are combined
+        # with the balance heuristic so the sum stays unbiased.
+        if cfg.has_env and cfg.env_nee:
+            r_e0, r_e1 = hash2(i, tbrng.STREAM_ENV_NEE)
+            env_dir, env_pdf = sample_cosine_hemisphere_soa(
+                detail_normal, r_e0, r_e1
+            )
+            do_env = (
+                shading & ~perfect_spec & ~is_light & ~surf_sss
+                & (env_pdf > EPSILON)
+            )
+            s["rays_traced"] = s["rays_traced"] + jnp.sum(
+                do_env.astype(jnp.float32)
+            )
+            e_org = hit_point + normal * EPSILON
+            e_tmax = jnp.where(do_env, BIG, 0.0)
+            e_occ = _occluded_dispatch(scene, e_org, env_dir, e_tmax, cfg)
+            # BSDF pdf of the env direction under the same mixed-lobe
+            # model as the throughput update below (balance heuristic
+            # denominator must mirror the escape estimator's pdf).
+            e_half = half_vector_safe_soa(-prev_dir, env_dir, detail_normal)
+            e_dpdf = jnp.maximum(
+                v3.dot(env_dir, detail_normal), 0.0) / jnp.pi
+            e_spdf = ggx_reflection_pdf_soa(
+                detail_normal, env_dir, e_half, mat["roughness"]
+            )
+            e_bsdf_pdf = jnp.where(
+                allows_spec,
+                jnp.where(is_metal, e_spdf,
+                          p_spec * e_spdf + (1.0 - p_spec) * e_dpdf),
+                e_dpdf,
+            )
+            w_env = env_pdf / jnp.maximum(env_pdf + e_bsdf_pdf, 1e-12)
+            # Full BSDF at env_dir (metal / plastic / lambert, the same
+            # model the throughput update applies to the sampled lobe).
+            e_spec_w = specular_weight_soa(
+                prev_dir, env_dir, normal, detail_normal, mat["roughness"]
+            )
+            e_cos = jnp.clip(v3.dot(env_dir, normal), 0.0, 1.0)
+            e_fres = refl_coef + (1.0 - refl_coef) * jnp.power(
+                jnp.abs(1.0 - v3.dot(-prev_dir, e_half)), 5.0
+            )
+            e_dm = (
+                (28.0 / (23.0 * jnp.pi))
+                * (1.0 - refl_coef)
+                * (1.0 - jnp.power(
+                    1.0 - 0.5 * v3.dot(-prev_dir, normal), 5.0))
+                * (1.0 - jnp.power(
+                    1.0 - 0.5 * v3.dot(env_dir, normal), 5.0))
+            )
+            e_mult = v3.where(
+                is_metal, albedo * (e_spec_w * e_cos),
+                v3.where(
+                    allows_spec,
+                    V3((albedo.x * e_dm + e_fres * e_spec_w) * e_cos,
+                       (albedo.y * e_dm + e_fres * e_spec_w) * e_cos,
+                       (albedo.z * e_dm + e_fres * e_spec_w) * e_cos),
+                    albedo * e_dpdf,
+                ),
+            )
+            e_add = do_env & ~e_occ
+            if "env_quad" in scene:
+                from tracerboy_tpu.shade.env import (
+                    sample_environment_quad_soa,
+                )
+
+                e_env = sample_environment_quad_soa(
+                    env_dir, scene["env_quad"], env_h, env_w,
+                    scene["env_transform"], scene["env_color_scale"],
+                    gather_mask=e_add,
+                )
+            else:
+                e_env = sample_environment_soa(
+                    env_dir, scene["env_r"], scene["env_g"],
+                    scene["env_b"], env_h, env_w,
+                    scene["env_transform"], scene["env_color_scale"],
+                )
+            e_gain = w_env / jnp.maximum(env_pdf, 1e-12)
+            e_contrib = s["throughput"] * e_mult * e_env * e_gain
+            s["radiance"] = v3.where(
+                e_add, s["radiance"] + e_contrib, s["radiance"]
+            )
+            if cfg.decouple_albedo:
+                # The env-NEE direction has its OWN diffuse fraction
+                # (e_dm vs e_fres*e_spec_w), distinct from the
+                # continuation lobe's phi — the one-scalar reference
+                # scheme cannot represent this; the two-plane one can.
+                e_phi = jnp.where(
+                    is_metal | ~allows_spec, 1.0,
+                    jnp.clip(e_dm / jnp.maximum(
+                        e_dm + e_fres * e_spec_w, 1e-8), 0.0, 1.0),
+                )
+                w_ed = jnp.where((i == 0) & shading, e_phi, s["dc_w"])
+                s["rad_d"] = v3.where(
+                    e_add, s["rad_d"] + e_contrib * w_ed, s["rad_d"]
+                )
+            # Carry the escape-side balance weight for THIS vertex's
+            # sampled lobe: applied if the continuation ray misses.
+            w_escape = pdf / jnp.maximum(
+                pdf + jnp.maximum(diffuse_pdf, 0.0), 1e-12
+            )
+            s["env_mis_w"] = jnp.where(
+                do_env, w_escape,
+                jnp.where(shading | vol_scatter | in_medium, 1.0,
+                          s["env_mis_w"]),
+            )
 
         if cfg.want_aovs:
             s["aov_diffuse_contrib"] = jnp.where(
@@ -1236,7 +1464,15 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
                 scene["env_transform"], scene["env_color_scale"],
             )
         env_contrib = state["env_throughput"] * env
-        radiance = radiance + env_contrib
+        if cfg.decouple_albedo:
+            # Primary-miss env rides the E plane exclusively (the
+            # composite adds it back); indirect escapes carry the
+            # lane's first-vertex diffuse fraction into D.
+            live_env = v3.where(state["first_miss"], vzero3, env_contrib)
+            radiance = radiance + live_env
+            state["rad_d"] = state["rad_d"] + live_env * state["dc_w"]
+        else:
+            radiance = radiance + env_contrib
         if cfg.want_aovs:
             state["aov_emissive"] = v3.where(
                 state["first_miss"], env_contrib, state["aov_emissive"]
@@ -1262,6 +1498,11 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         rays_traced=state["rays_traced"],
         live_end=state["live_end"],
     )
+    if cfg.decouple_albedo:
+        rad_d = v3.where(
+            v3.isnan_any(state["rad_d"]), vzero3, state["rad_d"]
+        )
+        out["radiance_d"] = v3.to_rows(rad_d * fw)
     if cfg.want_aovs:
         out.update(
             radiance=v3.to_rows(rad),
@@ -1324,6 +1565,8 @@ def render_wave_merged(scene, params, pixel_ids, base_sample, k: int,
         rays_traced=out["rays_traced"],
         live_end=out["live_end"],
     )
+    if cfg.decouple_albedo:
+        result["radiance_d"] = fold(out["radiance_d"])
     if cfg.want_aovs:
         result["radiance"] = fold(out["radiance"])
         for key in ("albedo", "normal", "world_pos", "depth", "emissive",

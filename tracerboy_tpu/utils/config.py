@@ -129,6 +129,12 @@ class PerformanceSettings:
     enable_adaptive_sampling: bool = False
     enable_normal_maps: bool = True  # perFrameConstants.EnableNormalMaps
     convergence_percent_pad: float = 0.05
+    # Environment NEE with MIS (no reference analog — kernel.glsl
+    # reaches the env only through escaped BSDF rays). "auto" enables
+    # it when the environment is the scene's ONLY light (num_lights ==
+    # 0), where escape-only sampling is the dominant variance; "on" /
+    # "off" force it. Unbiased either way (balance-heuristic MIS).
+    environment_nee: str = "auto"
     # Wavefront-specific (no reference analog): rays processed per wave and
     # whether pools are compacted between bounces.
     enable_ray_compaction: bool = True
