@@ -275,7 +275,12 @@ def bench_oidn_rmse(results, scene_key, film, golden_path, spp=8):
       (TracerBoy.cpp:3305-3322). Edge-guided denoising wins when input
       noise dominates (vw-van interiors), loses to its own ~0.013
       distortion floor on clean scenes (cornell).
-    Both per-model numbers are reported alongside the gate value."""
+    Each model also runs through an INVERTIBLE Reinhard x/(1+x)
+    transfer (denoise in that space, invert, score in gate space):
+    the gate's clip(x,0,1) transfer destroys super-white radiance
+    before the denoiser sees it (measured on vw-van: 0.0295 clip vs
+    0.0273 reinhard with rt_ldr). All per-variant numbers are reported
+    alongside the gate value."""
     import numpy as np
 
     if not os.path.exists(golden_path):
@@ -290,37 +295,57 @@ def bench_oidn_rmse(results, scene_key, film, golden_path, spp=8):
     golden = _tonemapped(read_exr_rgb(golden_path))
     r = Renderer(SCENES[scene_key], film_size=film)
     r.render_sample(spp)
-    img = _tonemapped(r.resolve_radiance())  # rt_ldr wants LDR input
+    lin = np.asarray(r.resolve_radiance())
+    img = _tonemapped(lin)  # rt_ldr wants LDR input
 
     def rmse_of(den):
         return float(np.sqrt(np.mean((np.clip(den, 0, 1) - golden) ** 2)))
 
-    model, variables = load_oidn("/root/reference/TracerBoy/ML/rt_ldr.tza")
-    den = np.asarray(denoise_image(model, variables, jnp.asarray(img)))
-    r_ldr = rmse_of(den)
-    results[f"rmse8/{scene_key}-ldr"] = round(r_ldr, 5)
-    best = r_ldr
+    def reinhard_fwd(x):
+        x = np.maximum(np.asarray(x), 0.0)
+        return (x / (1.0 + x)) ** (1 / 2.2)
+
+    def reinhard_inv(y):
+        y = np.clip(np.asarray(y), 0.0, 0.995) ** 2.2
+        return _tonemapped(y / (1.0 - y))
+
+    aux = {}
     try:
         aovs = r._last_aovs
         h, w = film[1], film[0]
-        alb = np.asarray(aovs["albedo"]).reshape(h, w, 3)
-        nrm = np.asarray(aovs["normal"]).reshape(h, w, 3)
-        m2, v2 = load_oidn(
-            "/root/reference/TracerBoy/ML/rt_ldr_alb_nrm.tza"
+        aux = dict(
+            albedo=jnp.asarray(np.clip(
+                np.asarray(aovs["albedo"]).reshape(h, w, 3), 0.0, 1.0)),
+            normal=jnp.asarray(
+                np.asarray(aovs["normal"]).reshape(h, w, 3)),
         )
-        den2 = np.asarray(denoise_image(
-            m2, v2, jnp.asarray(img),
-            albedo=jnp.asarray(np.clip(alb, 0.0, 1.0)),
-            normal=jnp.asarray(nrm),
-        ))
-        r_an = rmse_of(den2)
-        results[f"rmse8/{scene_key}-alb-nrm"] = round(r_an, 5)
-        best = min(best, r_an)
-    except Exception as e:
-        results[f"rmse8/{scene_key}-alb-nrm"] = (
-            f"error: {type(e).__name__}: {e}"
-        )
-    results[f"rmse8/{scene_key}"] = round(best, 5)
+    except Exception:
+        pass
+
+    best = None
+    for tag, tza, kw in (
+        ("ldr", "rt_ldr.tza", {}),
+        ("alb-nrm", "rt_ldr_alb_nrm.tza", aux),
+    ):
+        try:
+            model, variables = load_oidn(
+                f"/root/reference/TracerBoy/ML/{tza}")
+            den = np.asarray(denoise_image(
+                model, variables, jnp.asarray(img), **kw))
+            score = rmse_of(den)
+            results[f"rmse8/{scene_key}-{tag}"] = round(score, 5)
+            den_r = reinhard_inv(denoise_image(
+                model, variables, jnp.asarray(reinhard_fwd(lin)), **kw))
+            score_r = rmse_of(den_r)
+            results[f"rmse8/{scene_key}-{tag}-reinhard"] = round(score_r, 5)
+            score = min(score, score_r)
+            best = score if best is None else min(best, score)
+        except Exception as e:
+            results[f"rmse8/{scene_key}-{tag}"] = (
+                f"error: {type(e).__name__}: {e}"
+            )
+    if best is not None:
+        results[f"rmse8/{scene_key}"] = round(best, 5)
 
 
 def main():

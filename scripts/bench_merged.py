@@ -51,6 +51,8 @@ def main():
     r = Renderer(SCENES[scene_key], film_size=FILMS[scene_key])
     cfg = dataclasses.replace(r.wave_config(), max_bounces=6,
                               want_aovs=False)
+    if os.environ.get("TB_ENV_NEE") == "0":  # A/B the extra shadow wave
+        cfg = dataclasses.replace(cfg, env_nee=False)
     W, H = FILMS[scene_key]
     pixel_ids = jnp.arange(W * H, dtype=jnp.int32)
     params = dict(

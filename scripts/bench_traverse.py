@@ -198,7 +198,7 @@ def main():
     t0 = time.time()
     cs = load_scene(SCENES[args.scene], film_size=(64, 64))
     print(f"[{time.time()-t0:6.1f}s] scene: {cs.tri_v0.shape[0]} tris")
-    packed, _ = pack_scene_for_pallas(cs.tri_v0, cs.tri_v1, cs.tri_v2)
+    packed, bvh = pack_scene_for_pallas(cs.tri_v0, cs.tri_v1, cs.tri_v2)
     nodes_mb = packed["nodes"].size * 4 / 2**20
     tris_mb = packed["tris"].size * 4 / 2**20
     print(f"[{time.time()-t0:6.1f}s] packed: nodes {nodes_mb:.1f} MB, "
@@ -251,10 +251,31 @@ def main():
                     oj, dj, tmj, packed, tris_in_hbm=args.hbm, stats=True,
                 )[4]
                 st = np.asarray(st)
+                # Per-ray NEED from the lock-step oracle: the per-lane
+                # work a packet pays (every lane tests every pop +
+                # drain) over the tests a lone ray needs. This union
+                # tax bounds any re-binning/sub-packeting win.
+                from tracerboy_tpu.trace.traverse import traverse_wide
+
+                tmap = np.asarray(packed["tri_map"])
+                mv0 = jnp.asarray(np.asarray(cs.tri_v0)[tmap])
+                mv1 = jnp.asarray(np.asarray(cs.tri_v1)[tmap])
+                mv2 = jnp.asarray(np.asarray(cs.tri_v2)[tmap])
+                cost = traverse_wide(
+                    oj, dj, tmj, jnp.asarray(bvh.bounds_lo),
+                    jnp.asarray(bvh.bounds_hi),
+                    jnp.asarray(bvh.children), mv0, mv1, mv2,
+                    leaf_size=bvh.leaf_size,
+                )[4]
+                live = np.asarray(tmj) > 0
+                need = float(np.asarray(cost)[live].mean())
+                paid = (st[:, 0].mean() + st[:, 1].mean()) * 8
                 print(f"[{time.time()-t0:6.1f}s] {args.scene}/{set_name}"
                       f"/{sort_mode}: pops/packet mean {st[:,0].mean():.0f}"
                       f" max {st[:,0].max():.0f}, clusters/packet mean"
-                      f" {st[:,1].mean():.0f} max {st[:,1].max():.0f}")
+                      f" {st[:,1].mean():.0f} max {st[:,1].max():.0f}; "
+                      f"per-lane tests paid {paid:.0f} vs per-ray need "
+                      f"{need:.0f}: union tax {paid / max(need, 1e-9):.1f}x")
             for vname, fn in variants.items():
                 if vname == "v2any" and set_name != "shadow":
                     continue

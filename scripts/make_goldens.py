@@ -22,8 +22,13 @@ JOBS = {
                     (512, 512), 1024),
     "cornell_1080p": ("/root/reference/Scenes/cornell-box/scene.pbrt",
                       (1920, 1088), 256),
+    # 8192 spp: the 1024-spp golden measured sigma_g ~= 0.021 in gate
+    # space (probe_golden_noise two-point fit: per-sample sigma 0.69
+    # under the pre-env-NEE estimator) — ABOVE the 1e-2 fidelity gate,
+    # i.e. the gate was measuring the golden's own noise. With env NEE
+    # (per-sample sigma ~0.20) 8192 spp puts the floor at ~0.002.
     "vwvan_512x320": ("/root/reference/Scenes/vw-van/vw-van.pbrt",
-                      (512, 320), 1024),
+                      (512, 320), 8192),
 }
 
 

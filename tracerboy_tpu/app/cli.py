@@ -54,7 +54,8 @@ def build_parser():
                    choices=["albedo", "normal", "depth", "luminance"],
                    help="write this AOV instead of the lit image")
     p.add_argument("--denoiser", default="none",
-                   choices=["none", "oidn", "oidn-ldr", "oidn-alb-nrm"],
+                   choices=["none", "oidn", "oidn-ldr", "oidn-alb-nrm",
+                            "oidn-clip", "oidn-alb-nrm-clip"],
                    help="ML denoise the final image. oidn = color-only "
                         "rt_ldr (the reference default, OpenImageDenoise"
                         ".h:219); oidn-alb-nrm = albedo+normal-guided")
@@ -211,26 +212,19 @@ def main(argv=None):
     import jax.numpy as jnp
 
     if args.denoiser.startswith("oidn"):
-        from tracerboy_tpu.ml.oidn import load_oidn, denoise_image
+        from tracerboy_tpu.post.pipeline import display_transform
 
-        aux = args.denoiser == "oidn-alb-nrm"
-        tza = ("/root/reference/TracerBoy/ML/rt_ldr_alb_nrm.tza" if aux
-               else "/root/reference/TracerBoy/ML/rt_ldr.tza")
-        model, variables = load_oidn(tza)
-        h, w = r.height, r.width
-        if aux:
-            aovs = r._last_aovs
-            img = np.asarray(
-                denoise_image(
-                    model, variables, jnp.asarray(img),
-                    jnp.asarray(aovs["albedo"].reshape(h, w, 3)),
-                    jnp.asarray(aovs["normal"].reshape(h, w, 3)),
-                )
-            )
-        else:
-            img = np.asarray(denoise_image(model, variables,
-                                           jnp.asarray(img)))
-        log("denoised (OIDN UNet)")
+        model = ("rt_ldr_alb_nrm" if "alb-nrm" in args.denoiser
+                 else "rt_ldr")
+        transfer = "clip" if args.denoiser.endswith("-clip") else "reinhard"
+        den_lin = r.denoise(model=model, transfer=transfer)
+        ps = r.settings.post_settings
+        img = np.asarray(display_transform(
+            jnp.asarray(den_lin), ps.exposure_multiplier,
+            int(ps.tonemap_type), ps.enable_gamma_correction,
+            ps.enable_auto_exposure,
+        ))
+        log(f"denoised (OIDN UNet, {model}, {transfer} transfer)")
 
     if args.upscale == "fsr":
         from tracerboy_tpu.ml.fsr import fsr_upscale

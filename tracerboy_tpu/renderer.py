@@ -649,6 +649,47 @@ class Renderer:
         a = self.state.accum
         return a[..., :3] / jnp.maximum(a[..., 3:4], 1e-8)
 
+    def denoise(self, model: str = "rt_ldr",
+                transfer: str = "reinhard") -> np.ndarray:
+        """OIDN-denoised linear radiance (H, W, 3).
+
+        model: "rt_ldr" (the reference default, OpenImageDenoise.h:219)
+        or "rt_ldr_alb_nrm" (aux-guided: feeds the albedo + normal AOVs
+        like TracerBoy.cpp:3305-3322).
+
+        transfer: the pre-denoise LDR encoding. "reinhard" runs the
+        network on the invertible x/(1+x) curve and maps back — the
+        naive clip(x,0,1) destroys super-white radiance before the
+        network sees it (measured on vw-van 8 spp: 0.0295 clip vs
+        0.0273 reinhard RMSE vs the converged golden). "clip" matches
+        the reference's behavior of denoising its tonemapped output."""
+        from tracerboy_tpu.ml.oidn import denoise_image, load_oidn
+
+        lin = np.maximum(np.asarray(self.resolve_radiance()), 0.0)
+        if transfer == "reinhard":
+            enc = (lin / (1.0 + lin)) ** (1 / 2.2)
+        else:
+            enc = np.clip(lin, 0.0, 1.0) ** (1 / 2.2)
+        kw = {}
+        if model == "rt_ldr_alb_nrm":
+            aovs = getattr(self, "_last_aovs", None)
+            if aovs is not None:
+                h, w = self.height, self.width
+                kw = dict(
+                    albedo=jnp.clip(jnp.asarray(
+                        aovs["albedo"]).reshape(h, w, 3), 0.0, 1.0),
+                    normal=jnp.asarray(
+                        aovs["normal"]).reshape(h, w, 3),
+                )
+        net, variables = load_oidn(
+            f"/root/reference/TracerBoy/ML/{model}.tza")
+        den = np.asarray(denoise_image(net, variables, jnp.asarray(enc),
+                                       **kw))
+        if transfer == "reinhard":
+            y = np.clip(den, 0.0, 0.995) ** 2.2
+            return y / (1.0 - y)
+        return np.clip(den, 0.0, 1.0) ** 2.2
+
     def current_image(self, tonemapped: bool = True) -> np.ndarray:
         from tracerboy_tpu.post.pipeline import post_process
 

@@ -719,7 +719,10 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
             return _take_cols(scene["tri_attr_t"], tric)
         n_rows = 19 if cfg.has_normal_maps else 16
         N_l = tric.shape[0]
-        if N_l > 2 * ATTR_GATHER_CHUNK:
+        # Direct gather's (N, 128)-padded temp is ~512 B/lane: fine to
+        # 8M lanes (4 GB), OOMs at 30M (teapot k=128, 15 GB). Chunk
+        # only past that.
+        if N_l > 8 * ATTR_GATHER_CHUNK:
             planes = _gather_rows_chunked(scene[attr_key], tric)
             return tuple(planes[j, :N_l] for j in range(n_rows))
         rows = scene[attr_key][tric]                 # (N, 19)
