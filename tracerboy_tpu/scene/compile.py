@@ -293,7 +293,7 @@ class CompiledScene:
         cost (1.75 ms/bounce at 245k rays, round-3 profile)."""
         from tracerboy_tpu.trace.pallas_traverse import pack_scene_for_pallas
 
-        pk, _ = pack_scene_for_pallas(
+        pk, bvh = pack_scene_for_pallas(
             self.tri_v0, self.tri_v1, self.tri_v2
         )
 
@@ -301,7 +301,7 @@ class CompiledScene:
         so_idx = np.where(opaque)[0]
         if len(so_idx) == 0:
             so_idx = np.arange(1)
-        pk_sh, _ = pack_scene_for_pallas(
+        pk_sh, bvh_sh = pack_scene_for_pallas(
             self.tri_v0[so_idx], self.tri_v1[so_idx], self.tri_v2[so_idx]
         )
         import jax.numpy as jnp
@@ -320,6 +320,25 @@ class CompiledScene:
                 pk_sh["tri_map"]
             ],
         )
+        # Binned-subtree ("cut") traversal tables: phase-1 top table +
+        # per-cut roots (trace/cut.py). Built for scenes big enough
+        # that the whole-tree union tax dominates (measured 196x on
+        # teapot bounce waves); tiny scenes use brute force anyway.
+        T_tris = self.tri_v0.shape[0]
+        if T_tris > 2048 and os.environ.get("TB_CUT") != "0":
+            from tracerboy_tpu.trace.cut import build_cut
+
+            cut_tris = 512 if T_tris <= 300_000 else 2048
+            cut = build_cut(np.asarray(pk["nodes"]),
+                            np.asarray(bvh.children),
+                            bvh.leaf_size, cut_tris)
+            out["pk_cut_top"] = jnp.asarray(cut["top_nodes"])
+            out["pk_cut_roots"] = jnp.asarray(cut["roots"])
+            cut_sh = build_cut(np.asarray(pk_sh["nodes"]),
+                               np.asarray(bvh_sh.children),
+                               bvh_sh.leaf_size, cut_tris)
+            out["pk_sh_cut_top"] = jnp.asarray(cut_sh["top_nodes"])
+            out["pk_sh_cut_roots"] = jnp.asarray(cut_sh["roots"])
         if tri_attr_rows is not None:
             T = tri_attr_rows.shape[0]
             order = np.clip(np.asarray(pk["tri_map"]), 0, T - 1)

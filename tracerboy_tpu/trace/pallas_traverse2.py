@@ -266,7 +266,8 @@ def _tri_tests(trow, ox, oy, oz, dx, dy, dz):
 
 def _make_kernel(any_hit: bool, tris_in_hbm: bool, stats: bool = False,
                  order: bool = True, pops_per_iter: int = 1,
-                 sub: int = SUB, interval: bool = False):
+                 sub: int = SUB, interval: bool = False,
+                 with_roots: bool = False):
     """Build the packet-traversal kernel body.
 
     order: push children far-to-near (t-ordered stack).
@@ -274,6 +275,10 @@ def _make_kernel(any_hit: bool, tris_in_hbm: bool, stats: bool = False,
     the stack underflows, the synthesized dummy node (index = real node
     count, appended by the wrapper: inverted bounds, INVALID children)
     flows through the same straight-line math and produces nothing.
+    with_roots: an extra (n_packets, 1) i32 SMEM input follows the tris
+    table; each packet starts traversal at ITS root (node id >= 0, or a
+    leaf cluster encoded -cluster-1) instead of node 0 — the phase-2
+    half of the binned-subtree path (trace/cut.py).
     """
     import jax.lax as lax
     from jax.experimental import pallas as pl
@@ -283,6 +288,10 @@ def _make_kernel(any_hit: bool, tris_in_hbm: bool, stats: bool = False,
 
     def kernel(o_ref, d_ref, tmax_ref, nodes_ref, tris_ref,
                *rest):
+        roots_ref = None
+        if with_roots:
+            roots_ref = rest[0]
+            rest = rest[1:]
         stats_out = None
         if stats:
             stats_out = rest[0]
@@ -326,6 +335,10 @@ def _make_kernel(any_hit: bool, tris_in_hbm: bool, stats: bool = False,
 
             # Per-packet state init.
             stack_ref[0] = 0
+            if with_roots:
+                root = roots_ref[pp, 0]
+                root_is_node = root >= 0
+                stack_ref[0] = jnp.maximum(root, 0)
             if any_hit:
                 occ_ref[...] = jnp.zeros((sub, LANES), jnp.float32)
             else:
@@ -473,9 +486,22 @@ def _make_kernel(any_hit: bool, tris_in_hbm: bool, stats: bool = False,
             # bound is -BIG and the root's children all fail
             # `t_near < t_hi`.
             t_hi0 = jnp.max(jnp.where(tmax > 0.0, tmax, jnp.float32(-BIG)))
+            sp0 = jnp.int32(1)
+            tail0 = jnp.int32(0)
+            if with_roots:
+                # Leaf-cluster roots skip the stack entirely: enqueue
+                # the cluster and let the drain handle it.
+                sp0 = jnp.where(root_is_node, 1, 0)
+                cl0 = -jnp.minimum(root, -1) - 1
+                queue_ref[0] = cl0
+                tail0 = jnp.where(root_is_node, 0, 1)
+                if tris_in_hbm:
+                    @pl.when(~root_is_node)
+                    def _():
+                        start_cluster_dma(cl0, 0).start()
             _, clusters_done, _, pops, _ = lax.while_loop(
                 cond, body,
-                (jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                (sp0, jnp.int32(0), tail0, jnp.int32(0),
                  t_hi0),
             )
             if stats:
@@ -500,6 +526,183 @@ def _make_kernel(any_hit: bool, tris_in_hbm: bool, stats: bool = False,
         jax.lax.fori_loop(0, o_ref.shape[0], one_packet, 0)
 
     return kernel
+
+
+def _make_emit_kernel(K: int, overflow_id: int, sub: int = SUB):
+    """Phase-1 kernel of the binned-subtree path (trace/cut.py): packet
+    traversal over the cut TOP table. Negative child ids are EMITS
+    (cut-subtree indices), not leaves — each ray appends up to K of
+    them to its slot list; past K the last slot degrades to
+    overflow_id (the whole-tree root), keeping the ray correct at the
+    cost of a full classic traversal for it in phase 2.
+
+    No drains, no queue, no child ordering (nothing tightens t), so a
+    pop is just the 8-child slab test + pushes + (rarely) the K-select
+    append, gated on a scalar."""
+    import jax.lax as lax
+    from jax.experimental import pallas as pl
+
+    def kernel(o_ref, d_ref, tmax_ref, nodes_ref, ids_out, stack_ref,
+               cnt_ref):
+        fbits = lambda w: lax.bitcast_convert_type(w, jnp.float32)
+        dummy_idx = nodes_ref.shape[0] - 1
+
+        def one_packet(pp, _):
+            ox = o_ref[pp, 0]
+            oy = o_ref[pp, 1]
+            oz = o_ref[pp, 2]
+            dx = d_ref[pp, 0]
+            dy = d_ref[pp, 1]
+            dz = d_ref[pp, 2]
+            eps = jnp.float32(1e-12)
+            fix = lambda v: jnp.where(jnp.abs(v) < eps,
+                                      jnp.where(v < 0, -eps, eps), v)
+            inv_x = 1.0 / fix(dx)
+            inv_y = 1.0 / fix(dy)
+            inv_z = 1.0 / fix(dz)
+            tmax = tmax_ref[pp]
+            # Dead lanes must never emit: a zero cap fails t_near < cap
+            # unless t_near < 0 (origin inside the box), so force the
+            # cap negative for them.
+            t_cap = jnp.where(tmax > 0.0, tmax, jnp.float32(-BIG))
+
+            for s in range(K):
+                ids_out[pp, s] = jnp.full((sub, LANES), -1, jnp.int32)
+            cnt_ref[...] = jnp.zeros((sub, LANES), jnp.int32)
+
+            def body(sp):
+                have = sp > 0
+                # reuse slot 0 of ids as stack? no — SMEM stack scratch
+                node = jnp.where(
+                    have, stack_ref[jnp.maximum(sp - 1, 0)], dummy_idx
+                )
+                sp = sp - jnp.where(have, 1, 0)
+                row = nodes_ref[pl.ds(node, 1), :]
+                rowf = fbits(row)
+                for c in range(8):
+                    lo_x = rowf[0, c]
+                    lo_y = rowf[0, 8 + c]
+                    lo_z = rowf[0, 16 + c]
+                    hi_x = rowf[0, 24 + c]
+                    hi_y = rowf[0, 32 + c]
+                    hi_z = rowf[0, 40 + c]
+                    t0x = (lo_x - ox) * inv_x
+                    t1x = (hi_x - ox) * inv_x
+                    t0y = (lo_y - oy) * inv_y
+                    t1y = (hi_y - oy) * inv_y
+                    t0z = (lo_z - oz) * inv_z
+                    t1z = (hi_z - oz) * inv_z
+                    t_near = jnp.maximum(
+                        jnp.maximum(jnp.minimum(t0x, t1x),
+                                    jnp.minimum(t0y, t1y)),
+                        jnp.minimum(t0z, t1z),
+                    )
+                    t_far = jnp.minimum(
+                        jnp.minimum(jnp.maximum(t0x, t1x),
+                                    jnp.maximum(t0y, t1y)),
+                        jnp.maximum(t0z, t1z),
+                    )
+                    hit = (t_far >= jnp.maximum(t_near, 0.0)) \
+                        & (t_near < t_cap)
+                    cid = row[0, 48 + c]
+                    any_hit = jnp.max(
+                        jnp.where(hit, 1, 0)
+                    ) > 0
+                    want = any_hit & (cid != INVALID)
+                    is_emit = cid < 0
+                    # Branch-free push for internal children.
+                    stack_ref[jnp.minimum(sp, STACK_DEPTH - 1)] = cid
+                    sp = sp + jnp.where(want & ~is_emit, 1, 0)
+
+                    @pl.when(want & is_emit)
+                    def _():
+                        emit_id = -cid - 1
+                        cnt = cnt_ref[...]
+                        for s in range(K - 1):
+                            ids_out[pp, s] = jnp.where(
+                                hit & (cnt == s), emit_id,
+                                ids_out[pp, s],
+                            )
+                        last = hit & (cnt >= K - 1)
+                        ids_out[pp, K - 1] = jnp.where(
+                            last,
+                            jnp.where(cnt == K - 1, emit_id,
+                                      jnp.int32(overflow_id)),
+                            ids_out[pp, K - 1],
+                        )
+                        cnt_ref[...] = cnt + hit.astype(jnp.int32)
+                return sp
+
+            any_live = jnp.max(jnp.where(tmax > 0.0, 1, 0)) > 0
+            stack_ref[0] = 0
+            lax.while_loop(
+                lambda sp: sp > 0, body,
+                jnp.where(any_live, 1, 0),
+            )
+            return 0
+
+        jax.lax.fori_loop(0, o_ref.shape[0], one_packet, 0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("n_cuts", "K", "interpret", "sub"))
+def emit_packets2(orig, direc, t_max, top_nodes, n_cuts: int, K: int = 6,
+                  interpret: bool = False, sub: int = SUB):
+    """Phase 1 of binned-subtree traversal: per-ray cut-subtree lists.
+
+    top_nodes: the patched (W, 128) i32 table from trace.cut.build_cut.
+    Returns (N, K) i32: cut indices in [0, n_cuts), n_cuts for
+    overflow-degraded rays (traverse the whole tree), -1 for empty
+    slots."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    packet = sub * LANES
+    ppb = max(1, (PACKET * PACKETS_PER_BLOCK) // packet)
+    orig, direc, t_max, N, Np = _pad_rays(orig, direc, t_max, packet * ppb)
+    n_packets = Np // packet
+    n_blocks = n_packets // ppb
+    PPB = ppb
+    o_t, d_t, tm = _reshape_in(orig, direc, t_max, n_packets, sub)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((PPB, 3, sub, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PPB, 3, sub, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PPB, sub, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # top nodes
+        ],
+        out_specs=[
+            pl.BlockSpec((PPB, K, sub, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.VMEM((sub, LANES), jnp.int32),     # emit count
+        ],
+    )
+
+    (ids,) = pl.pallas_call(
+        _make_emit_kernel(K=K, overflow_id=n_cuts, sub=sub),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_packets, K, sub, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(o_t, d_t, tm, _with_dummy(top_nodes))
+
+    # (n_packets, K, sub, LANES) -> (Np, K) in ray order.
+    ids = jnp.moveaxis(ids, 1, 3).reshape(Np, K)
+    return ids[:N]
 
 
 def _dummy_node_row():
@@ -544,13 +747,18 @@ def _pad_rays(orig, direc, t_max, block_rays):
 def traverse_packets2(orig, direc, t_max, packed, interpret: bool = False,
                       tris_in_hbm: bool = False, stats: bool = False,
                       order: bool = True, pops_per_iter: int = 1,
-                      sub: int = SUB, interval: bool = False):
+                      sub: int = SUB, interval: bool = False,
+                      packet_roots=None):
     """Closest-hit packet traversal (v2 kernel).
 
     Same contract as pallas_traverse.traverse_packets: returns
     (t, tri_packed, u, v); remap tri ids through packed["tri_map"].
     stats=True appends a per-packet counter image: lane [p,0,:] = while
     iterations with a node pop, [p,1,:] = leaf clusters intersected.
+    packet_roots: optional (n_packets,) i32 — per-packet traversal
+    root (node id >= 0 or leaf -cluster-1) for the binned-subtree
+    phase 2 (trace/cut.py); ray count must already be padded to whole
+    packets by the caller.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -562,6 +770,12 @@ def traverse_packets2(orig, direc, t_max, packed, interpret: bool = False,
     n_blocks = n_packets // ppb
     PPB = ppb
     o_t, d_t, tm = _reshape_in(orig, direc, t_max, n_packets, sub)
+    with_roots = packet_roots is not None
+    if with_roots:
+        nr = packet_roots.shape[0]
+        assert nr * packet >= N, (nr, packet, N)
+        roots2 = jnp.zeros((n_packets, 1), jnp.int32)
+        roots2 = roots2.at[:nr, 0].set(packet_roots.astype(jnp.int32))
 
     scratch = [
         pltpu.SMEM((STACK_DEPTH,), jnp.int32),
@@ -577,21 +791,26 @@ def traverse_packets2(orig, direc, t_max, packed, interpret: bool = False,
             pltpu.SemaphoreType.DMA((QUEUE_RING,)),
         ]
 
+    in_specs = [
+        pl.BlockSpec((PPB, 3, sub, LANES), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((PPB, 3, sub, LANES), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((PPB, sub, LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes
+        pl.BlockSpec(
+            memory_space=pl.ANY if tris_in_hbm else pltpu.VMEM
+        ),                                       # tris
+    ]
+    if with_roots:
+        in_specs.append(pl.BlockSpec((PPB, 1), lambda i: (i, 0),
+                                     memory_space=pltpu.SMEM))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((PPB, 3, sub, LANES), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((PPB, 3, sub, LANES), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((PPB, sub, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes
-            pl.BlockSpec(
-                memory_space=pl.ANY if tris_in_hbm else pltpu.VMEM
-            ),                                       # tris
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((PPB, sub, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -600,10 +819,13 @@ def traverse_packets2(orig, direc, t_max, packed, interpret: bool = False,
         scratch_shapes=scratch,
     )
 
+    args = [o_t, d_t, tm, _with_dummy(packed["nodes"]), packed["tris_bw"]]
+    if with_roots:
+        args.append(roots2)
     out = pl.pallas_call(
         _make_kernel(any_hit=False, tris_in_hbm=tris_in_hbm, stats=stats,
                      order=order, pops_per_iter=pops_per_iter, sub=sub,
-                     interval=interval),
+                     interval=interval, with_roots=with_roots),
         grid_spec=grid_spec,
         # Large node tables (vw-van: 21 MB) exceed the default 16 MB
         # scoped-vmem budget; raise it (v5e VMEM is 128 MB).
@@ -620,7 +842,7 @@ def traverse_packets2(orig, direc, t_max, packed, interpret: bool = False,
             jax.ShapeDtypeStruct((n_packets, sub, LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(o_t, d_t, tm, _with_dummy(packed["nodes"]), packed["tris_bw"])
+    )(*args)
     if stats:
         st, t, tri, u, v = out
     else:
@@ -639,10 +861,12 @@ def traverse_packets2(orig, direc, t_max, packed, interpret: bool = False,
                                    "pops_per_iter", "sub", "interval"))
 def anyhit_packets2(orig, direc, t_max, packed, interpret: bool = False,
                     tris_in_hbm: bool = False, pops_per_iter: int = 1,
-                    sub: int = SUB, interval: bool = False):
+                    sub: int = SUB, interval: bool = False,
+                    packet_roots=None):
     """Occlusion-only packet traversal: True where any triangle lies in
     (0, t_max). Early-exits bookkeeping the closest-hit kernel pays for;
-    shadow waves are ~half of all traced rays."""
+    shadow waves are ~half of all traced rays. packet_roots: see
+    traverse_packets2."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -653,6 +877,12 @@ def anyhit_packets2(orig, direc, t_max, packed, interpret: bool = False,
     n_blocks = n_packets // ppb
     PPB = ppb
     o_t, d_t, tm = _reshape_in(orig, direc, t_max, n_packets, sub)
+    with_roots = packet_roots is not None
+    if with_roots:
+        nr = packet_roots.shape[0]
+        assert nr * packet >= N, (nr, packet, N)
+        roots2 = jnp.zeros((n_packets, 1), jnp.int32)
+        roots2 = roots2.at[:nr, 0].set(packet_roots.astype(jnp.int32))
 
     scratch = [
         pltpu.SMEM((STACK_DEPTH,), jnp.int32),
@@ -665,21 +895,26 @@ def anyhit_packets2(orig, direc, t_max, packed, interpret: bool = False,
             pltpu.SemaphoreType.DMA((QUEUE_RING,)),
         ]
 
+    in_specs = [
+        pl.BlockSpec((PPB, 3, sub, LANES), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((PPB, 3, sub, LANES), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((PPB, sub, LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            memory_space=pl.ANY if tris_in_hbm else pltpu.VMEM
+        ),
+    ]
+    if with_roots:
+        in_specs.append(pl.BlockSpec((PPB, 1), lambda i: (i, 0),
+                                     memory_space=pltpu.SMEM))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((PPB, 3, sub, LANES), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((PPB, 3, sub, LANES), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((PPB, sub, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                memory_space=pl.ANY if tris_in_hbm else pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((PPB, sub, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -687,10 +922,13 @@ def anyhit_packets2(orig, direc, t_max, packed, interpret: bool = False,
         scratch_shapes=scratch,
     )
 
+    args = [o_t, d_t, tm, _with_dummy(packed["nodes"]), packed["tris_bw"]]
+    if with_roots:
+        args.append(roots2)
     (occ,) = pl.pallas_call(
         _make_kernel(any_hit=True, tris_in_hbm=tris_in_hbm,
                      pops_per_iter=pops_per_iter, sub=sub,
-                     interval=interval),
+                     interval=interval, with_roots=with_roots),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20
@@ -699,6 +937,6 @@ def anyhit_packets2(orig, direc, t_max, packed, interpret: bool = False,
             jax.ShapeDtypeStruct((n_packets, sub, LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(o_t, d_t, tm, _with_dummy(packed["nodes"]), packed["tris_bw"])
+    )(*args)
 
     return occ.reshape(Np)[:N] > 0.0

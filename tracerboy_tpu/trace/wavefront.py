@@ -51,6 +51,10 @@ from tracerboy_tpu.trace.intersect import BIG
 # merged-wave densities.
 _PACKET_SUB = int(os.environ.get("TB_PACKET_SUB", "16"))
 _INTERVAL_NODES = os.environ.get("TB_INTERVAL_NODES", "0") == "1"
+# Binned-subtree ("cut") traversal: phase-1 emit over the tree top,
+# re-bin rays into per-subtree packets, phase-2 per-root traversal
+# (trace/cut.py). Opt-in while being measured: TB_CUT=1.
+_USE_CUT = os.environ.get("TB_CUT") == "1"
 
 EPSILON = 1e-4
 MIN_BOUNCES_BEFORE_RR = 2  # kernel.glsl:1276-1277
@@ -141,6 +145,9 @@ def _pallas_sorted(scene, origin, direction, t_max, shadow: bool,
     prefix = "pk_sh_" if shadow else "pk_"
     packed = dict(nodes=scene[prefix + "nodes"],
                   tris_bw=scene[prefix + "tris_bw"])
+    if prefix + "cut_top" in scene:
+        packed["cut_top"] = scene[prefix + "cut_top"]
+        packed["cut_roots"] = scene[prefix + "cut_roots"]
     # Static scene fact: stream leaf clusters from HBM (DMA started at
     # enqueue time, waited at drain) only when nodes + clusters would
     # not fit the kernel's 100 MB scoped-VMEM budget. Actual non-table
@@ -176,6 +183,17 @@ def _pallas_closest(scene, origin, direction, t_max, shadow: bool,
         scene, origin, direction, t_max, shadow, compact=compact
     )
     N = sidx.shape[0]
+    if _USE_CUT and "cut_top" in packed and not want_stats:
+        from tracerboy_tpu.trace.cut import traverse_binned2
+
+        t, tri, u, v = traverse_binned2(
+            o_s, d_s, tmax_p, packed, tris_in_hbm=tris_in_hbm,
+            sub=_PACKET_SUB,
+        )
+        _, t, tri, u, v = jax.lax.sort(
+            (sidx, t[:N], tri[:N], u[:N], v[:N]), num_keys=1
+        )
+        return t, tri, u, v
     out = traverse_packets2(
         o_s, d_s, tmax_p, packed, tris_in_hbm=tris_in_hbm,
         stats=want_stats, sub=_PACKET_SUB, interval=_INTERVAL_NODES,
@@ -203,10 +221,18 @@ def _pallas_anyhit(scene, origin, direction, t_max, compact: bool = True):
         scene, origin, direction, t_max, shadow=True, compact=compact
     )
     N = sidx.shape[0]
-    occ = anyhit_packets2(
-        o_s, d_s, tmax_p, packed, tris_in_hbm=tris_in_hbm,
-        sub=_PACKET_SUB, interval=_INTERVAL_NODES,
-    )
+    if _USE_CUT and "cut_top" in packed:
+        from tracerboy_tpu.trace.cut import anyhit_binned2
+
+        occ = anyhit_binned2(
+            o_s, d_s, tmax_p, packed, tris_in_hbm=tris_in_hbm,
+            sub=_PACKET_SUB,
+        )
+    else:
+        occ = anyhit_packets2(
+            o_s, d_s, tmax_p, packed, tris_in_hbm=tris_in_hbm,
+            sub=_PACKET_SUB, interval=_INTERVAL_NODES,
+        )
     _, occ = jax.lax.sort(
         (sidx, occ[:N].astype(jnp.int32)), num_keys=1
     )
