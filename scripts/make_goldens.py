@@ -11,9 +11,11 @@ Goldens (linear radiance EXRs):
 
 import argparse
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "goldens")
 
@@ -67,6 +69,68 @@ def main():
             "R": img[..., 0], "G": img[..., 1], "B": img[..., 2],
         })
         print(f"{name}: wrote {out} ({time.time()-t0:.0f}s)")
+
+    if "vwvan_512x320" in only:
+        aux_path = os.path.join(GOLDEN_DIR, "vwvan_512x320_aux.npz")
+        if not os.path.exists(aux_path):
+            make_aux("vwvan_512x320", aux_path, spp=2048)
+
+
+def make_aux(name, out_path, spp=2048):
+    """Converged DECOUPLED planes for the demod-fidelity floor probes:
+    illumination I (white-albedo radiance), modulated share D, mean
+    albedo/normal/emissive. Composite-of-means carries an edge
+    cross-term (cov(albedo, D) per pixel) vs the plain golden — that is
+    inherent to every albedo-demodulated denoise pipeline, so the probe
+    needs these planes to measure it, not the plain EXR."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tracerboy_tpu.renderer import Renderer
+    from tracerboy_tpu.trace.wavefront import (render_wave,
+                                               render_wave_merged)
+
+    path, film, _ = JOBS[name]
+    t0 = time.time()
+    r = Renderer(path, film_size=film)
+    h, w = film[1], film[0]
+    N = w * h
+    cfg = dataclasses.replace(r.wave_config(), decouple_albedo=True,
+                              want_aovs=True)
+    pixel_ids = jnp.arange(N, dtype=jnp.int32)
+    params = r.frame_params()
+    k = max(1, min(32, 8_388_608 // N))
+    print(f"{name}: aux decoupled pass, {spp} spp, k={k} ...")
+    acc = {}
+    done = 0
+    while done < spp:
+        kk = min(k, spp - done)
+        out = render_wave_merged(r.scene_pytree, params, pixel_ids,
+                                 jnp.int32(done), kk, cfg,
+                                 fold_aovs=True)
+        for key in ("radiance", "radiance_d", "albedo", "normal",
+                    "emissive"):
+            acc[key] = acc.get(key, 0.0) + out[key].reshape(h, w, 3)
+        acc["fw"] = acc.get("fw", 0.0) + out["filter_weight"].reshape(
+            h, w, 1)
+        float(out["rays_traced"])  # block (tunnel enqueue-ahead hang)
+        done += kk
+        if done % 256 == 0 or done >= spp:
+            print(f"  [{time.time()-t0:7.1f}s] {done}/{spp} spp")
+    fw = np.maximum(np.asarray(acc["fw"]), 1e-8)
+    np.savez_compressed(
+        out_path,
+        illum=(np.asarray(acc["radiance"]) / fw).astype(np.float32),
+        illum_d=(np.asarray(acc["radiance_d"]) / fw).astype(np.float32),
+        albedo=(np.asarray(acc["albedo"]) / spp).astype(np.float32),
+        normal=(np.asarray(acc["normal"]) / spp).astype(np.float32),
+        emissive=(np.asarray(acc["emissive"]) / spp).astype(np.float32),
+        fw=(fw / spp).astype(np.float32),
+        spp=np.int32(spp),
+    )
+    print(f"{name}: wrote {out_path} ({time.time()-t0:.0f}s)")
 
 
 if __name__ == "__main__":

@@ -138,7 +138,12 @@ class TestSceneFacts:
         assert not cfg.has_scale_tex
         assert not cfg.has_emissive_tex
         assert cfg.has_env
-        assert cfg.traversal == "pallas"
+        # Policy: packet kernel on TPU, portable lock-step elsewhere
+        # (Pallas only runs compiled on TPU).
+        import jax
+
+        expect = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        assert cfg.traversal == expect
 
 
 def test_checkpoint_realtime_history_roundtrip(tmp_path):

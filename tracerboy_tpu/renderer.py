@@ -121,6 +121,13 @@ class Renderer:
         T = scene.tri_v0.shape[0]
         if T <= 2048:
             return "brute"
+        import jax
+
+        if jax.default_backend() != "tpu":
+            # Pallas kernels only run compiled on TPU (CPU would need
+            # interpret mode — orders of magnitude slower than the
+            # lock-step jnp traversal, which is the portable path).
+            return "jnp"
         # ~512 B per 8-wide node row; ~T/8 clusters collapse ~7:1.
         # vw-van's 878k tris (21 MB node table) compiles and runs on
         # hardware; beyond that fall back to the lock-step oracle.

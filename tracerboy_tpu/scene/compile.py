@@ -328,7 +328,8 @@ class CompiledScene:
         if T_tris > 2048 and os.environ.get("TB_CUT") != "0":
             from tracerboy_tpu.trace.cut import build_cut
 
-            cut_tris = 512 if T_tris <= 300_000 else 2048
+            cut_tris = int(os.environ.get(
+                "TB_CUT_TRIS", 512 if T_tris <= 300_000 else 2048))
             cut = build_cut(np.asarray(pk["nodes"]),
                             np.asarray(bvh.children),
                             bvh.leaf_size, cut_tris)

@@ -113,70 +113,88 @@ def build_cut(packed_nodes: np.ndarray, children: np.ndarray,
 BIG = 1e30
 
 
-def _bin_pairs(ids, S: int, P: int):
-    """Sort (ray, subtree) pairs by subtree and pack each subtree's
-    span into whole packets of P lanes — scatter-free (TPU scatters
-    serialize; everything here is sorts + gathers).
+def _bin_pairs_sorted(ids, orig, direc, t_max, S: int, P: int):
+    """Pack (ray, subtree) pairs into per-subtree whole packets of P
+    lanes, carrying the ray data as SORT PAYLOAD — no big gathers and
+    no scatters (both serialize on TPU; payload-carrying lax.sort is
+    the fast primitive, the same trick as the wavefront's coherence
+    sort).
 
-    ids: (N, K) i32 from emit_packets2 (-1 empty, S overflow).
-    Returns (ray_slot (TOT,), slot_of_pair (N*K,) in SORTED-pair order,
-    pair_valid (N*K,) sorted order, spos (N*K,) original pair index per
-    sorted pair, pk_seg (TOT/P,) packet -> segment id)."""
+    Two sorts: a 1-plane key sort for per-subtree counts, then one
+    payload sort of the real pairs + a broadcast-built pad block whose
+    keys interleave each segment's padding right after its reals
+    (key2 = 2*seg for reals, 2*seg+1 for the pads the segment needs,
+    2*(S+1) for excess pads and empty slots — dead tail).
+
+    Returns (o_s (TOT,3), d_s, t_s, spos (TOT,), pk_seg (TOT/P,)):
+    slot-ordered phase-2 inputs, the original pair index per slot
+    (NK for pads), and packet -> segment ids."""
     import jax.numpy as jnp
     from jax import lax
 
     N, K = ids.shape
     NK = N * K
-    TOT = ((NK + (S + 1) * P) // P + 1) * P
+    # Extra dead rows round TOT up to whole packets.
+    PAD = (S + 1) * P + ((-NK) % P)
+    TOT = NK + PAD
 
     key = jnp.where(ids >= 0, ids, S + 1).astype(jnp.int32).reshape(NK)
-    ray = (jnp.arange(NK, dtype=jnp.int32) // K)
-    pos = jnp.arange(NK, dtype=jnp.int32)
-    sk, sray, spos = lax.sort((key, ray, pos), num_keys=1, is_stable=True)
-
+    sk = lax.sort(key)
     starts = jnp.searchsorted(sk, jnp.arange(S + 2, dtype=jnp.int32)
-                              ).astype(jnp.int32)          # (S+2,)
-    counts = starts[1:] - starts[:-1]                       # (S+1,)
+                              ).astype(jnp.int32)           # (S+2,)
+    counts = starts[1:] - starts[:-1]                        # (S+1,)
     padded = ((counts + P - 1) // P) * P
-    base = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)]
-    )[:-1].astype(jnp.int32)                                # (S+1,)
+    need_pad = padded - counts                               # (S+1,) < P
 
-    # pair (sorted order j) -> slot, by per-segment rank.
-    j = jnp.arange(NK, dtype=jnp.int32)
-    seg = jnp.clip(sk, 0, S)
-    valid = sk <= S
-    slot = jnp.where(valid, base[seg] + (j - starts[seg]), TOT - 1)
+    # Pad block, all small-array broadcasts: entry (s, i) pads segment
+    # s when i < need_pad[s], else goes to the dead tail.
+    i_grid = jnp.arange(P, dtype=jnp.int32)[None, :]         # (1, P)
+    s_grid = jnp.arange(S + 1, dtype=jnp.int32)[:, None]     # (S+1, 1)
+    pad_key = jnp.where(
+        i_grid < need_pad[:, None], 2 * s_grid + 1,
+        jnp.int32(2 * (S + 1)),
+    ).reshape((S + 1) * P)
+    pad_key = jnp.concatenate([
+        pad_key,
+        jnp.full(((-NK) % P,), 2 * (S + 1), jnp.int32),
+    ])
 
-    # slot -> ray, built by GATHER: slot q sits at offset
-    # q - base[seg(q)] inside its segment, i.e. sorted pair index
-    # starts[seg] + offset when within the segment's real count.
-    ends = (jnp.cumsum(padded) // P).astype(jnp.int32)      # (S+1,)
+    # Real pairs: empty slots (key S+1) become dead-tail entries.
+    live = key <= S
+    key2 = jnp.where(live, 2 * key, 2 * (S + 1)).astype(jnp.int32)
+    pos = jnp.arange(NK, dtype=jnp.int32)
+
+    # K-replicate the ray data (jnp.repeat = broadcast+reshape, not a
+    # gather — per-row gathers of N-tables run ~100x slower).
+    o_r = tuple(jnp.repeat(orig[:, c], K) for c in range(3))
+    d_r = tuple(jnp.repeat(direc[:, c], K) for c in range(3))
+    t_r = jnp.where(live, jnp.repeat(t_max, K), 0.0)
+
+    big = jnp.float32(BIG)
+    zpad = jnp.zeros((PAD,), jnp.float32)
+    keys_all = jnp.concatenate([key2, pad_key])
+    planes = [
+        jnp.concatenate([jnp.where(live, o_r[0], big), zpad + big]),
+        jnp.concatenate([jnp.where(live, o_r[1], big), zpad + big]),
+        jnp.concatenate([jnp.where(live, o_r[2], big), zpad + big]),
+        jnp.concatenate([d_r[0], zpad + 1.0]),
+        jnp.concatenate([d_r[1], zpad]),
+        jnp.concatenate([d_r[2], zpad]),
+        jnp.concatenate([t_r, zpad]),
+        jnp.concatenate([pos, jnp.full((PAD,), NK, jnp.int32)]),
+    ]
+    sorted_all = lax.sort((keys_all, *planes), num_keys=1,
+                          is_stable=True)
+    _, sox, soy, soz, sdx, sdy, sdz, st, spos = sorted_all
+
+    o_s = jnp.stack([sox, soy, soz], axis=1)
+    d_s = jnp.stack([sdx, sdy, sdz], axis=1)
+
+    ends = (jnp.cumsum(padded) // P).astype(jnp.int32)       # (S+1,)
     pk_seg = jnp.clip(jnp.searchsorted(
         ends, jnp.arange(TOT // P, dtype=jnp.int32), side="right"
     ).astype(jnp.int32), 0, S)
-    s_q = jnp.repeat(pk_seg, P)                             # (TOT,)
-    q = jnp.arange(TOT, dtype=jnp.int32)
-    off = q - base[s_q]
-    jj = starts[s_q] + off
-    in_seg = (off >= 0) & (off < counts[s_q])
-    ray_slot = jnp.where(
-        in_seg, sray[jnp.clip(jj, 0, NK - 1)], jnp.int32(-1)
-    )
-    return ray_slot, slot, valid, spos, pk_seg
-
-
-def _slot_rays(orig, direc, t_max, ray_slot):
-    import jax.numpy as jnp
-
-    safe = jnp.maximum(ray_slot, 0)
-    live = ray_slot >= 0
-    # Dead (padding) slots get far-away origins so origin-inside-box
-    # t_near < 0 can never sneak past their zero t_max.
-    o_s = jnp.where(live[:, None], orig[safe], jnp.float32(BIG))
-    d_s = jnp.where(live[:, None], direc[safe], 1.0)
-    t_s = jnp.where(live, t_max[safe], 0.0)
-    return o_s, d_s, t_s
+    return o_s, d_s, st, spos, pk_seg
 
 
 def traverse_binned2(orig, direc, t_max, packed, K: int = 6,
@@ -202,8 +220,9 @@ def traverse_binned2(orig, direc, t_max, packed, K: int = 6,
 
     ids = emit_packets2(orig, direc, t_max, packed["cut_top"],
                         n_cuts=S, K=K, interpret=interpret, sub=sub)
-    ray_slot, slot, valid, spos, pk_seg = _bin_pairs(ids, S, P)
-    o_s, d_s, t_s = _slot_rays(orig, direc, t_max, ray_slot)
+    o_s, d_s, t_s, spos, pk_seg = _bin_pairs_sorted(
+        ids, orig, direc, t_max, S, P
+    )
     pk_root = packed["cut_roots"][pk_seg]
 
     t2, tri2, u2, v2 = traverse_packets2(
@@ -213,19 +232,18 @@ def traverse_binned2(orig, direc, t_max, packed, K: int = 6,
 
     from jax import lax
 
-    # Per-sorted-pair results -> original pair order via a payload
-    # sort on the saved position (scatter-free unsort).
-    r_t = jnp.where(valid, t2[slot], jnp.float32(BIG))
-    r_tri = jnp.where(valid, tri2[slot], jnp.int32(-1))
-    r_u = jnp.where(valid, u2[slot], 0.0)
-    r_v = jnp.where(valid, v2[slot], 0.0)
+    # Slot-order results -> original pair order via a payload sort on
+    # the carried pair index (pads carry NK -> tail, sliced off).
+    NK = N * K
     _, t_p, tri_p, u_p, v_p = lax.sort(
-        (spos, r_t, r_tri, r_u, r_v), num_keys=1
+        (spos, t2, tri2, u2, v2), num_keys=1
     )
-    t_p = t_p.reshape(N, K)
-    tri_p = tri_p.reshape(N, K)
-    u_p = u_p.reshape(N, K)
-    v_p = v_p.reshape(N, K)
+    t_p = t_p[:NK].reshape(N, K)
+    tri_p = tri_p[:NK].reshape(N, K)
+    u_p = u_p[:NK].reshape(N, K)
+    v_p = v_p[:NK].reshape(N, K)
+    # Empty pair slots were dead rays in phase 2 -> tri -1, t BIG.
+    t_p = jnp.where(tri_p < 0, jnp.float32(BIG), t_p)
 
     k_best = jnp.argmin(t_p, axis=1)
     rows = jnp.arange(N)
@@ -254,8 +272,9 @@ def anyhit_binned2(orig, direc, t_max, packed, K: int = 6,
 
     ids = emit_packets2(orig, direc, t_max, packed["cut_top"],
                         n_cuts=S, K=K, interpret=interpret, sub=sub)
-    ray_slot, slot, valid, spos, pk_seg = _bin_pairs(ids, S, P)
-    o_s, d_s, t_s = _slot_rays(orig, direc, t_max, ray_slot)
+    o_s, d_s, t_s, spos, pk_seg = _bin_pairs_sorted(
+        ids, orig, direc, t_max, S, P
+    )
     pk_root = packed["cut_roots"][pk_seg]
 
     occ = anyhit_packets2(
@@ -265,6 +284,5 @@ def anyhit_binned2(orig, direc, t_max, packed, K: int = 6,
 
     from jax import lax
 
-    r_occ = jnp.where(valid, occ[slot], False).astype(jnp.int32)
-    _, occ_p = lax.sort((spos, r_occ), num_keys=1)
-    return occ_p.reshape(N, K).max(axis=1) > 0
+    _, occ_p = lax.sort((spos, occ.astype(jnp.int32)), num_keys=1)
+    return occ_p[: N * K].reshape(N, K).max(axis=1) > 0

@@ -55,6 +55,7 @@ _INTERVAL_NODES = os.environ.get("TB_INTERVAL_NODES", "0") == "1"
 # re-bin rays into per-subtree packets, phase-2 per-root traversal
 # (trace/cut.py). Opt-in while being measured: TB_CUT=1.
 _USE_CUT = os.environ.get("TB_CUT") == "1"
+_CUT_K = int(os.environ.get("TB_CUT_K", "8"))
 
 EPSILON = 1e-4
 MIN_BOUNCES_BEFORE_RR = 2  # kernel.glsl:1276-1277
@@ -188,7 +189,7 @@ def _pallas_closest(scene, origin, direction, t_max, shadow: bool,
 
         t, tri, u, v = traverse_binned2(
             o_s, d_s, tmax_p, packed, tris_in_hbm=tris_in_hbm,
-            sub=_PACKET_SUB,
+            sub=_PACKET_SUB, K=_CUT_K,
         )
         _, t, tri, u, v = jax.lax.sort(
             (sidx, t[:N], tri[:N], u[:N], v[:N]), num_keys=1
@@ -226,7 +227,7 @@ def _pallas_anyhit(scene, origin, direction, t_max, compact: bool = True):
 
         occ = anyhit_binned2(
             o_s, d_s, tmax_p, packed, tris_in_hbm=tris_in_hbm,
-            sub=_PACKET_SUB,
+            sub=_PACKET_SUB, K=_CUT_K,
         )
     else:
         occ = anyhit_packets2(
@@ -1551,7 +1552,7 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
 
 @partial(jax.jit, static_argnames=("cfg", "k"))
 def render_wave_merged(scene, params, pixel_ids, base_sample, k: int,
-                       cfg: WaveConfig):
+                       cfg: WaveConfig, fold_aovs: bool = False):
     """Trace k samples per pixel in ONE wave of k*N lanes.
 
     Cross-sample regeneration: merging samples multiplies the ray-space
@@ -1601,7 +1602,15 @@ def render_wave_merged(scene, params, pixel_ids, base_sample, k: int,
         for key in ("albedo", "normal", "world_pos", "depth", "emissive",
                     "material", "diffuse_contrib", "neighbor_dist",
                     "heatmap"):
-            result[key] = out[key][:N]
+            # fold_aovs: SUM the geometric planes over the k samples
+            # (callers divide by spp for the anti-aliased mean — used
+            # by the golden-aux regen); default keeps the first-sample
+            # contract (the RealTime path wants one crisp G-buffer).
+            if fold_aovs and key in ("albedo", "normal", "emissive",
+                                     "diffuse_contrib"):
+                result[key] = fold(out[key])
+            else:
+                result[key] = out[key][:N]
         result["viz_rays"] = out["viz_rays"]
     return result
 
