@@ -102,6 +102,30 @@ class TestTwoPlaneDemodulation:
         assert (ind_d >= -1e-6).all()
         assert (ind_d <= ind + 1e-4).all()
 
+    def test_merged_fold_aovs_sums_planes(self, tmp_path):
+        """render_wave_merged(fold_aovs=True) returns per-pixel SUMS of
+        the geometric AOV planes over the k samples — the contract the
+        golden-aux regen (scripts/make_goldens.make_aux) divides by spp
+        to get anti-aliased means."""
+        from tracerboy_tpu.trace.wavefront import render_wave_merged
+
+        path = write_scene(tmp_path, MIXED_BOX)
+        r = Renderer(path, film_size=(16, 16))
+        pixel_ids = jnp.arange(16 * 16, dtype=jnp.int32)
+        params = r.frame_params()
+        cfg = dataclasses.replace(r.wave_config(), decouple_albedo=True,
+                                  want_aovs=True)
+        k = 3
+        merged = render_wave_merged(r.scene_pytree, params, pixel_ids,
+                                    jnp.int32(0), k, cfg, fold_aovs=True)
+        singles = [render_wave(r.scene_pytree, params, pixel_ids,
+                               jnp.int32(s), cfg) for s in range(k)]
+        for key in ("albedo", "normal", "emissive", "radiance",
+                    "radiance_d"):
+            want = np.sum([np.asarray(s[key]) for s in singles], axis=0)
+            np.testing.assert_allclose(np.asarray(merged[key]), want,
+                                       rtol=1e-4, atol=1e-4)
+
     def test_scalar_dc_still_supported(self):
         """Reference-parity scalar AlbedoTexture.w form still works."""
         alb = jnp.full((4, 4, 3), 0.5)

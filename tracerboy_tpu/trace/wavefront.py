@@ -1550,7 +1550,7 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
     return out
 
 
-@partial(jax.jit, static_argnames=("cfg", "k"))
+@partial(jax.jit, static_argnames=("cfg", "k", "fold_aovs"))
 def render_wave_merged(scene, params, pixel_ids, base_sample, k: int,
                        cfg: WaveConfig, fold_aovs: bool = False):
     """Trace k samples per pixel in ONE wave of k*N lanes.
