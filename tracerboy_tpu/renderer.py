@@ -697,6 +697,109 @@ class Renderer:
             return y / (1.0 - y)
         return np.clip(den, 0.0, 1.0) ** 2.2
 
+    def render_denoised(self, spp: int = 8, model: str = "rt_ldr",
+                        transfer: str = "reinhard", demod: bool = True,
+                        dc_filter_iters: int = 2,
+                        filter_albedo: bool = False,
+                        clamp: float | None = None) -> np.ndarray:
+        """Demodulated low-spp denoise: the reference's RealTime design
+        (CompositeAlbedoCS.hlsl:17-26, TracerBoy.cpp:3062-3160) as one
+        batch call — trace spp DECOUPLED samples, OIDN the demodulated
+        illumination (texture detail never reaches the network, so its
+        distortion floor collapses), then re-composite albedo.
+
+        The noisy per-pixel dc ratio would multiply denoised signal by
+        noise at composite time, so it is edge-aware-filtered first
+        (dc_filter_iters a-trous steps, normal+position guided).
+        clamp: optional firefly clamp applied at trace time — the
+        reference treats clamping as a DENOISER setting
+        (TracerBoy.h:343 m_fireflyClampValue in denoiserSettings).
+        Returns linear radiance (H, W, 3); does not touch self.state."""
+        import dataclasses
+
+        from tracerboy_tpu.ml.oidn import denoise_image, load_oidn
+        from tracerboy_tpu.post.denoise import denoise as atrous
+        from tracerboy_tpu.post.realtime import composite_albedo
+        from tracerboy_tpu.trace.wavefront import render_wave_merged
+
+        h, w = self.height, self.width
+        N = w * h
+        saved = self.settings
+        try:
+            if clamp:
+                self.settings = self.settings.replace(
+                    fireflies_clamp=clamp)
+            cfg = dataclasses.replace(self.wave_config(),
+                                      decouple_albedo=True,
+                                      want_aovs=True)
+            params = self.frame_params()
+            pixel_ids = jnp.arange(N, dtype=jnp.int32)
+            k_max = max(1, min(32, 8_388_608 // N))
+            acc: dict = {}
+            done = 0
+            while done < spp:
+                kk = min(k_max, spp - done)
+                out = render_wave_merged(self.scene_pytree, params,
+                                         pixel_ids, jnp.int32(done), kk,
+                                         cfg, fold_aovs=True)
+                for key in ("radiance", "radiance_d", "albedo",
+                            "normal", "emissive"):
+                    acc[key] = acc.get(key, 0.0) + out[key]
+                acc["fw"] = acc.get("fw", 0.0) + out["filter_weight"]
+                acc["wpos"] = out["world_pos"]      # guide: first sample
+                acc["nd"] = out["neighbor_dist"]
+                done += kk
+        finally:
+            self.settings = saved
+        fw = jnp.maximum(acc["fw"], 1e-8)[:, None]
+        illum = (acc["radiance"] / fw).reshape(h, w, 3)
+        dc = _demod_ratio(acc["radiance_d"] / fw,
+                          acc["radiance"] / fw).reshape(h, w, 3)
+        alb = jnp.clip(acc["albedo"] / spp, 0.0, 1.0).reshape(h, w, 3)
+        nrm = (acc["normal"] / spp).reshape(h, w, 3)
+        emi = (acc["emissive"] / spp).reshape(h, w, 3)
+        if not demod:
+            # Plain composite first, then denoise the final image.
+            target = composite_albedo(alb, dc, illum, emi)
+        else:
+            target = illum
+        if transfer == "reinhard":
+            enc = (jnp.maximum(target, 0.0)
+                   / (1.0 + jnp.maximum(target, 0.0))) ** (1 / 2.2)
+        else:
+            enc = jnp.clip(target, 0.0, 1.0) ** (1 / 2.2)
+        kw = {}
+        if model == "rt_ldr_alb_nrm":
+            kw = dict(
+                albedo=jnp.ones_like(alb) if demod else alb,
+                normal=nrm,
+            )
+        net, variables = load_oidn(
+            f"/root/reference/TracerBoy/ML/{model}.tza")
+        den = denoise_image(net, variables, enc, **kw)
+        if transfer == "reinhard":
+            y = jnp.clip(den, 0.0, 0.995) ** 2.2
+            den_lin = y / (1.0 - y)
+        else:
+            den_lin = jnp.clip(den, 0.0, 1.0) ** 2.2
+        if not demod:
+            return np.asarray(den_lin)
+        if dc_filter_iters > 0:
+            wpos4 = jnp.concatenate(
+                [acc["wpos"].reshape(h, w, 3),
+                 acc["nd"].reshape(h, w, 1)], axis=-1)
+
+            def smooth(p, iters):
+                x = jnp.concatenate(
+                    [p, jnp.zeros((h, w, 1), jnp.float32)], axis=-1)
+                return atrous(x, p, nrm, wpos4,
+                              iterations=iters)[..., :3]
+
+            dc = jnp.clip(smooth(dc, dc_filter_iters), 0.0, 1.0)
+            if filter_albedo:
+                alb = jnp.clip(smooth(alb, 1), 0.0, 1.0)
+        return np.asarray(composite_albedo(alb, dc, den_lin, emi))
+
     def current_image(self, tonemapped: bool = True) -> np.ndarray:
         from tracerboy_tpu.post.pipeline import post_process
 
