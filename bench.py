@@ -344,6 +344,25 @@ def bench_oidn_rmse(results, scene_key, film, golden_path, spp=8):
             results[f"rmse8/{scene_key}-{tag}"] = (
                 f"error: {type(e).__name__}: {e}"
             )
+    # Demodulated pipeline (Renderer.render_denoised): OIDN sees only
+    # the illumination, albedo detail is re-composited analytically,
+    # the noisy dc ratio is edge-aware-filtered first; firefly clamp is
+    # a denoiser setting (TracerBoy.h:343 m_fireflyClampValue lives in
+    # denoiserSettings). Fresh trace at the same spp budget.
+    for tag, kw in (
+        ("demod", dict(demod=True, clamp=16.0)),
+        ("demod-alb-nrm", dict(demod=True, clamp=16.0,
+                               model="rt_ldr_alb_nrm")),
+    ):
+        try:
+            den = r.render_denoised(spp=spp, **kw)
+            score = rmse_of(_tonemapped(den))
+            results[f"rmse8/{scene_key}-{tag}"] = round(score, 5)
+            best = score if best is None else min(best, score)
+        except Exception as e:
+            results[f"rmse8/{scene_key}-{tag}"] = (
+                f"error: {type(e).__name__}: {e}"
+            )
     if best is not None:
         results[f"rmse8/{scene_key}"] = round(best, 5)
 

@@ -60,7 +60,10 @@ def main():
         done = 0
         while done < spp:
             n = min(args.batch, spp - done)
-            r.render_sample(n)
+            st = r.render_sample(n)
+            # Block per batch: unbounded enqueue-ahead can hang the
+            # remote-attach tunnel (same guard as bench.py).
+            float(st.accum[0, 0, 0])
             done += n
             if done % 64 == 0 or done == spp:
                 print(f"  [{time.time()-t0:7.1f}s] {done}/{spp} spp")

@@ -16,6 +16,8 @@ run() {
 }
 
 run python -u scripts/probe_fidelity_combo2.py vw-van 8 16.0
+run python -u scripts/probe_gate_api.py vw-van 8
+run python -u scripts/probe_gate_api.py cornell 8
 
 # Classic baselines (same harness, same day, same chip).
 run python -u scripts/bench_merged.py teapot 32 32
