@@ -91,6 +91,63 @@ def _wave_step(scene_path, film, traversal=None, max_bounces=6,
     return step, r.scene_pytree, params, pixel_ids, r
 
 
+def _scene_integrity(r):
+    """Self-describe what was ACTUALLY rendered (round-3 verdict item 7:
+    missing checkout assets silently degrade scenes — dragon ships with
+    ~51k of its tris, vw-van's pisa_latlong.hdr is absent). The JSON must
+    flag it so numbers are never read as exercising assets that were
+    never loaded."""
+    cs = r.compiled
+    env_px = int(cs.env_map.shape[0] * cs.env_map.shape[1])
+    return dict(
+        num_tris=int(cs.num_tris),
+        has_env=bool(cs.has_env),
+        # 1x1 env = the fallback dome substituted for a missing .hdr.
+        env_texture_loaded=bool(cs.has_env and env_px > 1),
+        num_lights=int(cs.num_lights),
+        traversal=r.traversal,
+    )
+
+
+def _synthetic_env_scene(scene_path, film):
+    """vw-van with a DETERMINISTIC synthetic HDR environment standing in
+    for the absent pisa_latlong.hdr: a sun-and-sky gradient with a hot
+    5-degree sun disk, so the env-importance-sampling path (env NEE +
+    MIS + lat-long CDF tables) has a measured config even though the
+    reference asset is missing from the checkout."""
+    import dataclasses
+
+    import numpy as np
+
+    from tracerboy_tpu.renderer import Renderer
+    from tracerboy_tpu.scene.compile import load_scene
+
+    cs = load_scene(scene_path, film_size=film)
+    H, W = 256, 512
+    theta = (np.arange(H) + 0.5) / H * np.pi          # polar
+    phi = (np.arange(W) + 0.5) / W * 2 * np.pi        # azimuth
+    t, p = np.meshgrid(theta, phi, indexing="ij")
+    d = np.stack([np.sin(t) * np.cos(p), np.cos(t), np.sin(t) * np.sin(p)],
+                 axis=-1)
+    sun_dir = np.array([0.35, 0.80, 0.49])
+    sun_dir = sun_dir / np.linalg.norm(sun_dir)
+    cosang = d @ sun_dir
+    sky = np.stack([
+        0.25 + 0.30 * np.clip(d[..., 1], 0, 1),
+        0.35 + 0.40 * np.clip(d[..., 1], 0, 1),
+        0.55 + 0.45 * np.clip(d[..., 1], 0, 1),
+    ], axis=-1)
+    sun = (cosang > np.cos(np.radians(2.5)))[..., None] * np.array(
+        [800.0, 700.0, 550.0])
+    env = (sky + sun).astype(np.float32)
+    cs = dataclasses.replace(
+        cs, env_map=env, has_env=True,
+        env_transform=np.eye(3, dtype=np.float32),
+        env_color_scale=np.ones(3, np.float32),
+    )
+    return Renderer(cs, film_size=film)
+
+
 def _throughput(step, scene, params, pixel_ids, n_runs):
     """Mrays/s, blocking on EVERY dispatch (enqueue-ahead hangs the
     axon tunnel queue — observed 2026-08-17; per-wave device work is
@@ -144,6 +201,7 @@ def bench_config_waves(results, n_runs=6):
             step, scene, params, pixel_ids, r = _wave_step(
                 SCENES[name], film, max_bounces=6,
             )
+            results[f"integrity/{name}"] = _scene_integrity(r)
             mrays1, rpw = _throughput(step, scene, params, pixel_ids,
                                       n_runs)
             results[f"mrays/{name}-{r.traversal}-k1"] = round(mrays1, 2)
@@ -159,6 +217,35 @@ def bench_config_waves(results, n_runs=6):
             vals.append(mrays)
         except Exception as e:  # missing assets etc.
             results[f"mrays/{name}"] = f"error: {type(e).__name__}: {e}"
+    # Env-importance-sampling config: vw-van under the deterministic
+    # synthetic HDR (the real pisa_latlong.hdr is absent from the
+    # checkout — see integrity/vw-van). Measures the env NEE + lat-long
+    # CDF sampling cost that the fallback white dome never exercises.
+    try:
+        import dataclasses
+
+        from tracerboy_tpu.trace.wavefront import make_blue_noise_params, \
+            render_wave
+
+        film = (512, 320)
+        r = _synthetic_env_scene(SCENES["vw-van"], film)
+        cfg = dataclasses.replace(r.wave_config(), max_bounces=6,
+                                  want_aovs=False)
+        pixel_ids = jnp.arange(film[0] * film[1], dtype=jnp.int32)
+        params = dict(
+            dof_focus=jnp.float32(0.0), dof_aperture=jnp.float32(0.0),
+            firefly_clamp=jnp.float32(0.0), seed=jnp.int32(0),
+            bn=make_blue_noise_params(r.scene_pytree, pixel_ids, film[0]),
+        )
+        results["integrity/vw-van-synthenv"] = _scene_integrity(r)
+        k = max(1, min(32, 8_388_608 // pixel_ids.shape[0]))
+        mstep = jax.jit(partial(render_wave_merged, k=k, cfg=cfg))
+        mrays, _ = _throughput(mstep, r.scene_pytree, params, pixel_ids,
+                               max(2, n_runs // 2))
+        results[f"mrays/vw-van-synthenv-{r.traversal}-k{k}"] = round(mrays, 2)
+    except Exception as e:
+        results["mrays/vw-van-synthenv"] = f"error: {type(e).__name__}: {e}"
+
     if not vals:
         return 0.0
     import math
@@ -225,14 +312,16 @@ def _tonemapped(img):
 
 
 def bench_time_to_psnr(results, scene_key, film, golden_path,
-                       target_db=35.0, time_limit=240.0, batch=4):
+                       target_db=35.0, time_limit=240.0, batch=4,
+                       tag=None):
     """Seconds of rendering (jit dispatch + device time; excludes scene
     compile) until the tonemapped render reaches `target_db` PSNR vs the
     converged golden."""
     import numpy as np
 
+    tag = tag or scene_key
     if not os.path.exists(golden_path):
-        results[f"psnr35/{scene_key}"] = "missing golden"
+        results[f"psnr35/{tag}"] = "missing golden"
         return
     from tracerboy_tpu.core.image_io import read_exr_rgb
 
@@ -254,10 +343,10 @@ def bench_time_to_psnr(results, scene_key, film, golden_path,
         img = _tonemapped(r.resolve_radiance())
         psnr = _psnr(img, golden)
         if psnr >= target_db:
-            results[f"psnr35/{scene_key}"] = round(time.time() - t0, 2)
-            results[f"psnr35/{scene_key}-spp"] = spp
+            results[f"psnr35/{tag}"] = round(time.time() - t0, 2)
+            results[f"psnr35/{tag}-spp"] = spp
             return
-    results[f"psnr35/{scene_key}"] = (
+    results[f"psnr35/{tag}"] = (
         f"not reached in {time_limit:.0f}s ({psnr:.1f} dB @ {spp} spp)"
     )
 
@@ -372,7 +461,7 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip", default="",
-                    help="comma list: configs,psnr,rmse")
+                    help="comma list: headline,configs,realtime,psnr,rmse")
     ap.add_argument("--runs", type=int, default=100)
     args = ap.parse_args()
     skip = set(args.skip.split(","))
@@ -380,34 +469,47 @@ def main():
     _setup_jax()
     results = {}
 
-    bench_headline(results, n_runs=args.runs)
+    # Every config is individually fenced: ONE failure must never zero
+    # the round's numbers again (round-3 postmortem — bench_headline ran
+    # unguarded and its KeyError took out every config downstream).
+    def guard(tag, fn, *a, **kw):
+        try:
+            return fn(*a, **kw)
+        except Exception as e:
+            results[f"{tag}"] = f"error: {type(e).__name__}: {e}"
+            return None
+
+    if "headline" not in skip:
+        guard("mrays/cornell-brute", bench_headline, results,
+              n_runs=args.runs)
 
     headline = 0.0
     if "configs" not in skip:
-        headline = bench_config_waves(results)
+        headline = guard("mrays/configs", bench_config_waves,
+                         results) or 0.0
     if "realtime" not in skip:
-        try:
-            bench_realtime_fps(results)
-        except Exception as e:
-            results["fps/realtime-512"] = f"error: {type(e).__name__}"
+        guard("fps/realtime-512", bench_realtime_fps, results)
     if "psnr" not in skip:
-        bench_time_to_psnr(
-            results, "cornell", (1920, 1088),
-            os.path.join(GOLDEN_DIR, "cornell_1080p.exr"),
-        )
-        bench_time_to_psnr(
-            results, "vw-van", (512, 320),
-            os.path.join(GOLDEN_DIR, "vwvan_512x320.exr"),
-        )
+        guard("psnr35/cornell", bench_time_to_psnr,
+              results, "cornell", (1920, 1088),
+              os.path.join(GOLDEN_DIR, "cornell_1080p.exr"))
+        guard("psnr35/vw-van", bench_time_to_psnr,
+              results, "vw-van", (512, 320),
+              os.path.join(GOLDEN_DIR, "vwvan_512x320.exr"))
+        # North star as written (BASELINE.md): time-to-PSNR-35 at 1080p
+        # for vw-van too. 1920x1200 keeps the scene's 1.6 aspect and the
+        # OIDN 16-divisibility constraint.
+        guard("psnr35/vw-van-1080p", bench_time_to_psnr,
+              results, "vw-van", (1920, 1200),
+              os.path.join(GOLDEN_DIR, "vwvan_1080p.exr"),
+              time_limit=600.0, tag="vw-van-1080p")
     if "rmse" not in skip:
-        bench_oidn_rmse(
-            results, "cornell", (512, 512),
-            os.path.join(GOLDEN_DIR, "cornell_512.exr"),
-        )
-        bench_oidn_rmse(
-            results, "vw-van", (512, 320),
-            os.path.join(GOLDEN_DIR, "vwvan_512x320.exr"),
-        )
+        guard("rmse8/cornell", bench_oidn_rmse,
+              results, "cornell", (512, 512),
+              os.path.join(GOLDEN_DIR, "cornell_512.exr"))
+        guard("rmse8/vw-van", bench_oidn_rmse,
+              results, "vw-van", (512, 320),
+              os.path.join(GOLDEN_DIR, "vwvan_512x320.exr"))
 
     print(
         json.dumps(

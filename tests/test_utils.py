@@ -190,3 +190,87 @@ def test_checkpoint_realtime_history_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(h2["moments"]), np.asarray(h1["moments"]), rtol=1e-6
     )
+
+
+def test_checkpoint_realtime_lazy_resume(tmp_path):
+    """A checkpoint with RealTime history loads into a FRESH renderer
+    (no prior warmup frame): the pending path restores the history on
+    the first fused frame instead of silently dropping it."""
+    import dataclasses
+    import os
+
+    from tests.conftest import SCENES_ROOT
+    from tracerboy_tpu.renderer import Renderer
+    from tracerboy_tpu.utils.checkpoint import (
+        load_render_checkpoint,
+        save_render_checkpoint,
+    )
+    from tracerboy_tpu.utils.config import RenderMode
+
+    scene = os.path.join(SCENES_ROOT, "cornell-box", "scene.pbrt")
+    if not os.path.exists(scene):
+        import pytest
+
+        pytest.skip("cornell-box scene missing")
+    r1 = Renderer(scene, film_size=(16, 16))
+    r1.settings = dataclasses.replace(
+        r1.settings, render_mode=RenderMode.REAL_TIME
+    )
+    for _ in range(3):
+        r1.render_realtime_frame_fused()
+    hist_saved = np.asarray(r1._rt_hist_fused["final"])
+    ck = str(tmp_path / "rt.npz")
+    save_render_checkpoint(ck, r1)
+
+    r2 = Renderer(scene, film_size=(16, 16))
+    r2.settings = dataclasses.replace(
+        r2.settings, render_mode=RenderMode.REAL_TIME
+    )
+    assert load_render_checkpoint(ck, r2)   # no history template yet
+    assert getattr(r2, "_rt_checkpoint_pending", None) is not None
+    # Frame 4 on BOTH renderers from the same restored history must agree.
+    img1 = r1.render_realtime_frame_fused(as_numpy=True)
+    img2 = r2.render_realtime_frame_fused(as_numpy=True)
+    assert getattr(r2, "_rt_checkpoint_pending", None) is None
+    np.testing.assert_allclose(img2, img1, rtol=1e-5, atol=1e-6)
+    del hist_saved
+
+
+def test_checkpoint_legacy_scalar_diffuse_contrib(tmp_path):
+    """Checkpoints written before the diffuse_contrib history grew from
+    (H, W) to (H, W, 3) still restore (the scalar plane broadcasts)."""
+    import dataclasses
+    import os
+
+    from tests.conftest import SCENES_ROOT
+    from tracerboy_tpu.renderer import Renderer
+    from tracerboy_tpu.utils.checkpoint import (
+        _flatten_tree,
+        _unflatten_tree,
+    )
+    from tracerboy_tpu.utils.config import RenderMode
+
+    scene = os.path.join(SCENES_ROOT, "cornell-box", "scene.pbrt")
+    if not os.path.exists(scene):
+        import pytest
+
+        pytest.skip("cornell-box scene missing")
+    r = Renderer(scene, film_size=(16, 16))
+    r.settings = dataclasses.replace(
+        r.settings, render_mode=RenderMode.REAL_TIME
+    )
+    r.render_realtime_frame_fused()
+    hist = r._rt_hist_fused
+    legacy = dict(hist)
+    legacy["aovs"] = dict(hist["aovs"])
+    legacy["aovs"]["diffuse_contrib"] = (
+        np.asarray(hist["aovs"]["diffuse_contrib"])[..., 0])
+    flat = {}
+    _flatten_tree("rt_hist", legacy, flat)
+    np.savez(str(tmp_path / "legacy.npz"), **flat)
+    z = np.load(str(tmp_path / "legacy.npz"))
+    restored = _unflatten_tree("rt_hist", hist, z)
+    assert restored is not None
+    dc = np.asarray(restored["aovs"]["diffuse_contrib"])
+    assert dc.shape == np.asarray(hist["aovs"]["diffuse_contrib"]).shape
+    np.testing.assert_allclose(dc[..., 0], dc[..., 1])

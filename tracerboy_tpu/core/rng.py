@@ -34,6 +34,7 @@ STREAM_VOLUME = 52             # delta-tracking walk (52..55: distance,
                                # acceptance, phase u/v)
 STREAM_VOLUME_SHADOW = 56      # ratio-marching jitter for NEE
 STREAM_ENV_NEE = 58            # 2 dims: environment NEE direction
+STREAM_ENV_NEE_SHADOW = 60     # ratio-marching jitter for env NEE
 STREAM_ACCUM_JITTER = 64       # jittered-accumulator coin flip
 NUM_STREAMS = 80
 

@@ -482,6 +482,19 @@ class Renderer:
                     diffuse_contrib=z3,
                 ),
             )
+        pending = getattr(self, "_rt_checkpoint_pending", None)
+        if pending is not None:
+            # Deferred RealTime-history resume: the checkpoint carried a
+            # temporal history but the renderer had none yet at load
+            # time; restore it now that a same-shaped template exists.
+            from tracerboy_tpu.utils.checkpoint import _unflatten_tree
+            import numpy as _np
+
+            self._rt_checkpoint_pending = None
+            z = _np.load(pending)
+            restored = _unflatten_tree("rt_hist", self._rt_hist_fused, z)
+            if restored is not None:
+                self._rt_hist_fused = restored
         first = frame == 0
         cam_prev = getattr(self, "_cam_prev", None) or self.scene_pytree["camera"]
         s = self.settings
@@ -680,14 +693,27 @@ class Renderer:
         kw = {}
         if model == "rt_ldr_alb_nrm":
             aovs = getattr(self, "_last_aovs", None)
-            if aovs is not None:
-                h, w = self.height, self.width
-                kw = dict(
-                    albedo=jnp.clip(jnp.asarray(
-                        aovs["albedo"]).reshape(h, w, 3), 0.0, 1.0),
-                    normal=jnp.asarray(
-                        aovs["normal"]).reshape(h, w, 3),
-                )
+            if aovs is None or "albedo" not in aovs:
+                # Silent zero guides would quietly degrade the aux-guided
+                # network (advisor, round 3): render one AOV sample on
+                # demand instead.
+                from tracerboy_tpu.trace.wavefront import render_wave
+                import dataclasses
+
+                cfg = dataclasses.replace(self.wave_config(),
+                                          want_aovs=True)
+                pixel_ids = jnp.arange(self.width * self.height,
+                                       dtype=jnp.int32)
+                aovs = render_wave(self.scene_pytree, self.frame_params(),
+                                   pixel_ids, jnp.int32(self.state.spp),
+                                   cfg)
+            h, w = self.height, self.width
+            kw = dict(
+                albedo=jnp.clip(jnp.asarray(
+                    aovs["albedo"]).reshape(h, w, 3), 0.0, 1.0),
+                normal=jnp.asarray(
+                    aovs["normal"]).reshape(h, w, 3),
+            )
         net, variables = load_oidn(
             f"/root/reference/TracerBoy/ML/{model}.tza")
         den = np.asarray(denoise_image(net, variables, jnp.asarray(enc),

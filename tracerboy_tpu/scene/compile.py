@@ -325,7 +325,10 @@ class CompiledScene:
         # that the whole-tree union tax dominates (measured 196x on
         # teapot bounce waves); tiny scenes use brute force anyway.
         T_tris = self.tri_v0.shape[0]
-        if T_tris > 2048 and os.environ.get("TB_CUT") != "0":
+        # Gate matches the sole consumer (wavefront._USE_CUT requires
+        # TB_CUT == '1'): default sessions must not pay the subtree BFS
+        # or carry the extra node-table copies for an opt-in experiment.
+        if T_tris > 2048 and os.environ.get("TB_CUT") == "1":
             from tracerboy_tpu.trace.cut import build_cut
 
             cut_tris = int(os.environ.get(

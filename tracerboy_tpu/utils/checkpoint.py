@@ -38,8 +38,17 @@ def _unflatten_tree(prefix: str, like_tree, z):
         if key not in z.files:
             return None
         arr = z[key]
-        if tuple(arr.shape) != tuple(np.shape(leaf)):
-            return None
+        want = tuple(np.shape(leaf))
+        if tuple(arr.shape) != want:
+            # Legacy plane migration (advisor, round 3): the RealTime
+            # diffuse_contrib history grew from (H, W) to (H, W, 3);
+            # broadcast an old scalar plane instead of dropping the
+            # whole history.
+            if (arr.ndim + 1 == len(want)
+                    and tuple(arr.shape) == want[:-1] and want[-1] == 3):
+                arr = np.repeat(arr[..., None], 3, axis=-1)
+            else:
+                return None
         new.append(jnp.asarray(arr))
     return jax.tree_util.tree_unflatten(treedef, new)
 
