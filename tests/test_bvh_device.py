@@ -120,3 +120,127 @@ def test_single_cluster_scene(rng):
     t_ref = np.asarray(t_ref)
     hit_ref = t_ref < BIG * 0.5
     assert not np.any(hit_ref & (tri < 0))
+
+
+# ---------------------------------------------------------------------------
+# Device repack (pack_for_pallas_device) + the product animated-geometry
+# path (Renderer.update_geometry)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_for_pallas_device_matches_host_pack(rng):
+    """Device repack of a device build == host pack_bvh of the same
+    tree: node rows bit-exact, Baldwin-Weber rows within the f64->f32
+    precompute tolerance, tri_map exact."""
+    from tracerboy_tpu.accel.bvh_device import pack_for_pallas_device
+    from tracerboy_tpu.trace.pallas_traverse import pack_bvh
+
+    v0, v1, v2 = random_soup(rng, 700)
+    built = build_bvh_device(jnp.asarray(v0), jnp.asarray(v1),
+                             jnp.asarray(v2))
+    dev = pack_for_pallas_device(built, jnp.asarray(v0), jnp.asarray(v1),
+                                 jnp.asarray(v2))
+    host = pack_bvh(to_host_widebvh(built, num_tris=700), v0, v1, v2)
+    W = int(built["num_wide"])
+    np.testing.assert_array_equal(
+        np.asarray(dev["nodes"])[:W], np.asarray(host["nodes"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(dev["tris_bw"]), np.asarray(host["tris_bw"]),
+        rtol=2e-4, atol=2e-4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dev["tri_map"]), np.asarray(host["tri_map"])
+    )
+
+
+def _cornell_renderer(size=(24, 24), traversal=None):
+    import os
+
+    import tests.conftest as c
+    from tracerboy_tpu.renderer import Renderer
+    from tracerboy_tpu.utils.config import default_output_settings
+
+    path = c.require_scene("cornell-box/scene.pbrt")
+    import dataclasses
+
+    s = default_output_settings()
+    s = s.replace(performance_settings=dataclasses.replace(
+        s.performance_settings, max_bounces=2, use_blue_noise=False,
+    ))
+    old = os.environ.get("TB_TRAVERSAL")
+    try:
+        if traversal:
+            os.environ["TB_TRAVERSAL"] = traversal
+        return Renderer(path, settings=s, film_size=size)
+    finally:
+        if traversal:
+            if old is None:
+                os.environ.pop("TB_TRAVERSAL", None)
+            else:
+                os.environ["TB_TRAVERSAL"] = old
+
+
+class TestUpdateGeometry:
+    def test_identity_update_preserves_image(self):
+        r = _cornell_renderer()
+        r.render_sample()
+        ref = np.asarray(r.resolve_radiance())
+        sp = r.scene_pytree
+        r.update_geometry(sp["tri_v0"], sp["tri_v1"], sp["tri_v2"],
+                          normals=sp["tri_n0"])
+        assert r.state.spp == 0  # history invalidated
+        r.render_sample()
+        np.testing.assert_allclose(
+            np.asarray(r.resolve_radiance()), ref, atol=1e-5
+        )
+
+    def test_moved_geometry_changes_image(self):
+        r = _cornell_renderer()
+        r.render_sample()
+        ref = np.asarray(r.resolve_radiance())
+        sp = r.scene_pytree
+        delta = jnp.asarray([0.35, 0.0, 0.0], jnp.float32)
+        r.update_geometry(sp["tri_v0"] + delta, sp["tri_v1"] + delta,
+                          sp["tri_v2"] + delta)
+        r.render_sample()
+        moved = np.asarray(r.resolve_radiance())
+        assert np.isfinite(moved).all()
+        assert np.abs(moved - ref).mean() > 1e-3
+
+    def test_pallas_update_matches_brute(self):
+        """After an on-device rebuild, the pallas backend (interpret
+        kernels on CPU) agrees with brute force on the moved scene —
+        the full product animation loop with no host rebuild."""
+        from tests.test_pallas import _patch_interpret
+        import tracerboy_tpu.trace.pallas_traverse2 as pt2
+
+        size = (16, 16)
+        delta = jnp.asarray([0.0, 0.2, 0.0], jnp.float32)
+
+        rb = _cornell_renderer(size=size, traversal="brute")
+        sp = rb.scene_pytree
+        rb.update_geometry(sp["tri_v0"] + delta, sp["tri_v1"] + delta,
+                           sp["tri_v2"] + delta)
+        rb.render_sample()
+        ref = np.asarray(rb.resolve_radiance())
+
+        rp = _cornell_renderer(size=size, traversal="pallas")
+        spp_ = rp.scene_pytree
+        orig_c, orig_a = _patch_interpret(pt2)
+        try:
+            rp.update_geometry(
+                spp_["tri_v0"] + delta, spp_["tri_v1"] + delta,
+                spp_["tri_v2"] + delta,
+            )
+            rp.render_sample()
+            got = np.asarray(rp.resolve_radiance())
+        finally:
+            pt2.traverse_packets2 = orig_c
+            pt2.anyhit_packets2 = orig_a
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+    def test_rejects_topology_change(self):
+        r = _cornell_renderer()
+        with pytest.raises(ValueError):
+            r.update_geometry(np.zeros((3, 3)), np.zeros((3, 3)),
+                              np.zeros((3, 3)))

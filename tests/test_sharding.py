@@ -134,6 +134,92 @@ def test_tiled_pallas_backend(small_scene):
     np.testing.assert_allclose(tiled, single, atol=1e-4)
 
 
+@pytest.fixture(scope="module")
+def cornell_path():
+    import tests.conftest as c
+
+    return c.require_scene("cornell-box/scene.pbrt")
+
+
+def _mini_renderer(cornell_path, shard, size=(32, 32), **kw):
+    import dataclasses
+
+    from tracerboy_tpu.renderer import Renderer
+    from tracerboy_tpu.utils.config import default_output_settings
+
+    s = default_output_settings()
+    s = s.replace(performance_settings=dataclasses.replace(
+        s.performance_settings, max_bounces=3, use_blue_noise=True,
+    ))
+    return Renderer(cornell_path, settings=s, film_size=size,
+                    shard=shard, **kw)
+
+
+class TestRendererSharding:
+    """The PRODUCT multi-chip path: Renderer(shard=...) end to end."""
+
+    @pytest.mark.smoke
+    def test_tiles_matches_single_device(self, cornell_path):
+        r_ref = _mini_renderer(cornell_path, shard=None)
+        r_ref.render_sample()
+        ref = np.asarray(r_ref.resolve_radiance())
+
+        r = _mini_renderer(cornell_path, shard="tiles")
+        assert r.mesh.devices.size == 8
+        r.render_sample()
+        assert r.state.spp == 1
+        got = np.asarray(r.resolve_radiance())
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_spp_sharded_matches_sequential_renderer(self, cornell_path):
+        """8 devices x 1 sample == the same 8 samples traced serially:
+        the sharded accumulator must be bit-equivalent modulo float
+        reduction order."""
+        r = _mini_renderer(cornell_path, shard="spp")
+        r.render_sample(8)          # one step: 8 devices x 1 sample
+        assert r.state.spp == 8
+        got = np.asarray(r.resolve_radiance())
+
+        r_ref = _mini_renderer(cornell_path, shard=None)
+        for _ in range(8):
+            r_ref.render_sample()   # serial samples 0..7
+        ref = np.asarray(r_ref.resolve_radiance())
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    def test_spp_rounds_up_to_mesh_multiple(self, cornell_path):
+        r = _mini_renderer(cornell_path, shard="spp")
+        r.render_sample(3)
+        assert r.state.spp == 8
+
+    def test_tiles_nondivisible_film(self, cornell_path):
+        """30x19 = 570 pixels pads to the mesh; padded lanes must not
+        pollute the accumulator."""
+        r = _mini_renderer(cornell_path, shard="tiles", size=(30, 19))
+        r.render_sample()
+        r_ref = _mini_renderer(cornell_path, shard=None, size=(30, 19))
+        r_ref.render_sample()
+        np.testing.assert_allclose(
+            np.asarray(r.resolve_radiance()),
+            np.asarray(r_ref.resolve_radiance()), atol=1e-5,
+        )
+
+    def test_tiles_feeds_display(self, cornell_path):
+        r = _mini_renderer(cornell_path, shard="tiles")
+        r.render_sample(2)
+        img = r.current_image()
+        assert img.shape == (32, 32, 3)
+        assert np.isfinite(img).all() and img.mean() > 0
+
+    def test_cli_sharded_render(self, cornell_path, tmp_path):
+        from tracerboy_tpu.app.cli import main
+
+        out = tmp_path / "sharded.png"
+        rc = main([cornell_path, "--spp", "8", "--shard", "spp",
+                   "--size", "24x24", "--max-bounces", "2",
+                   "--out", str(out), "-q"])
+        assert rc == 0 and out.exists()
+
+
 def test_sharded_accumulation_feeds_post_pipeline(small_scene):
     """End to end: spp-sharded accumulators -> weighted resolve ->
     display transform, the full multi-chip progressive loop."""

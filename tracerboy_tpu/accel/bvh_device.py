@@ -356,6 +356,73 @@ def build_bvh_device(v0, v1, v2, leaf_size: int = LEAF):
     )
 
 
+def _bw_rows_device(v0, v1, v2):
+    """Baldwin-Weber rows (T, 3, 4) as jnp ops (trace/binned._bw_rows
+    math in f32 on device; the kernels' 1e-5 containment band absorbs
+    the f64->f32 precompute difference)."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    n = jnp.cross(e1, e2)
+    nn = (n * n).sum(axis=1)
+    good = nn > 1e-24
+    inv = jnp.where(good, 1.0 / jnp.maximum(nn, 1e-24), 0.0)[:, None]
+    g1 = jnp.cross(e2, n) * inv
+    g2 = jnp.cross(n, e1) * inv
+    d = (n * v0).sum(axis=1)
+    h1 = -(g1 * v0).sum(axis=1)
+    h2 = -(g2 * v0).sum(axis=1)
+    n = jnp.where(good[:, None], n, 0.0)
+    d = jnp.where(good, d, 0.0)
+    return jnp.stack(
+        [
+            jnp.concatenate([n, -d[:, None]], axis=1),
+            jnp.concatenate([g1, h1[:, None]], axis=1),
+            jnp.concatenate([g2, h2[:, None]], axis=1),
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+
+
+@jax.jit
+def pack_for_pallas_device(built, v0, v1, v2):
+    """Repack a device LBVH build into the packet kernels' tables —
+    the jnp analog of pallas_traverse.pack_bvh, so animated-geometry
+    rebuilds (Renderer.update_geometry) stay on device end to end
+    (the reference rebuilds on-GPU the same way,
+    GpuBVH2Builder.cpp:167-280).
+
+    Returns dict(nodes (C, 128) i32, tris_bw (C, 128) f32,
+    tri_map (C*LEAF,) i32). The node table keeps the build's padded
+    C rows (live rows [0, num_wide)); padded rows are never reached
+    from the root, and the fixed shape is what lets per-frame rebuilds
+    reuse one compiled render program.
+    """
+    BIG = jnp.float32(1e30)
+    lo = built["bounds_lo"]
+    hi = built["bounds_hi"]
+    ch = built["children"].astype(jnp.int32)
+    valid = ch != INVALID
+    lo = jnp.where(valid[..., None], lo, BIG)
+    hi = jnp.where(valid[..., None], hi, -BIG)
+    W = lo.shape[0]
+    bounds = jnp.concatenate([lo, hi], axis=2)          # (W, 8, 6)
+    rows48 = jax.lax.bitcast_convert_type(
+        bounds.transpose(0, 2, 1).reshape(W, 48).astype(jnp.float32),
+        jnp.int32,
+    )
+    nodes = jnp.zeros((W, 128), jnp.int32)
+    nodes = nodes.at[:, :48].set(rows48).at[:, 48:56].set(ch)
+
+    order = built["tri_order"]
+    w0 = jnp.asarray(v0, jnp.float32)[order]
+    w1 = jnp.asarray(v1, jnp.float32)[order]
+    w2 = jnp.asarray(v2, jnp.float32)[order]
+    C = order.shape[0] // LEAF
+    bw = _bw_rows_device(w0, w1, w2).reshape(C, LEAF * 12)
+    tris_bw = jnp.zeros((C, 128), jnp.float32).at[:, : LEAF * 12].set(bw)
+    return dict(nodes=nodes, tris_bw=tris_bw, tri_map=order)
+
+
 def to_host_widebvh(built, num_tris: int, leaf_size: int = LEAF):
     """Materialize a device build as the host WideBVH dataclass (rows
     sliced to the concrete wide-node count) for the validators and the

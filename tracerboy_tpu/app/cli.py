@@ -62,9 +62,9 @@ def build_parser():
     p.add_argument("--upscale", default=None, choices=["fsr", "superres"],
                    help="2x upscale the output")
     p.add_argument("--volume", default=None,
-                   help="attach a heterogeneous medium: .vol (Mitsuba "
-                        "grid), .npy density, or 'cloud' (procedural "
-                        "test cloud)")
+                   help="attach a heterogeneous medium: .vdb (OpenVDB "
+                        "FloatGrid), .vol (Mitsuba grid), .npy density, "
+                        "or 'cloud' (procedural test cloud)")
     p.add_argument("--hdr-out", default=None,
                    help="also write linear radiance (.exr/.hdr/.pfm)")
     p.add_argument("--capture-every", type=int, default=0, metavar="N",
@@ -74,6 +74,15 @@ def build_parser():
                    help="checkpoint file to save/resume accumulation")
     p.add_argument("--checkpoint-every", type=int, default=64,
                    help="checkpoint every N samples")
+    p.add_argument("--shard", default="none",
+                   choices=["none", "tiles", "spp"],
+                   help="multi-chip scaling axis over all visible "
+                        "devices: tiles = pixel pool split across the "
+                        "mesh (zero-comm waves); spp = every chip "
+                        "traces different sample indices, accumulators "
+                        "psum-merge over ICI")
+    p.add_argument("--devices", type=int, default=None,
+                   help="number of devices for --shard (default: all)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--export-pbf", default=None, metavar="OUT.pbf",
                    help="serialize the parsed scene as a .pbf binary "
@@ -160,11 +169,14 @@ def main(argv=None):
 
         vol = (vmod.procedural_cloud() if args.volume == "cloud"
                else vmod.load_volume(args.volume))
+    shard = None if args.shard == "none" else args.shard
     r = Renderer(args.scene, settings=s, film_size=film, seed=args.seed,
-                 volume=vol)
+                 volume=vol, shard=shard, n_devices=args.devices)
     log(f"scene ready: {r.compiled.num_tris} tris, "
         f"{r.compiled.num_lights} lights, {r.width}x{r.height}, "
         f"{len(r.compiled.materials['flags'])} materials")
+    if shard:
+        log(f"sharding: {shard} over {r.mesh.devices.size} devices")
 
     from tracerboy_tpu.utils.checkpoint import (
         load_render_checkpoint,

@@ -56,15 +56,32 @@ _spp_cache: dict = {}
 
 def render_wave_tiled(mesh, scene, params, pixel_ids, sample_index, cfg):
     """Tile-sharded render step: pixel pool split over the mesh, scene
-    replicated; no collectives in the hot path."""
-    key = (id(mesh), cfg)
+    replicated; no collectives in the hot path.
+
+    Per-lane params (pre-gathered blue noise, the adaptive active_mask)
+    are detected by their leading dim matching the pixel pool and get
+    the same tile sharding; everything else replicates."""
+    n_lanes = pixel_ids.shape[0]
+
+    def _is_lane(x):
+        return getattr(x, "ndim", 0) >= 1 and x.shape[0] == n_lanes
+
+    leaves = jax.tree_util.tree_leaves_with_path(params)
+    pkey = tuple(
+        (jax.tree_util.keystr(p), _is_lane(leaf)) for p, leaf in leaves
+    )
+    key = (id(mesh), cfg, n_lanes, pkey)
     fn = _tiled_cache.get(key)
     if fn is None:
         replicated = NamedSharding(mesh, P())
         sharded = NamedSharding(mesh, P("tiles"))
+        param_shardings = jax.tree_util.tree_map(
+            lambda x: sharded if _is_lane(x) else replicated, params
+        )
         fn = jax.jit(
             partial(render_wave, cfg=cfg),
-            in_shardings=(replicated, replicated, sharded, replicated),
+            in_shardings=(replicated, param_shardings, sharded,
+                          replicated),
             out_shardings=None,  # per-ray outputs stay tile-sharded
         )
         _tiled_cache[key] = fn
@@ -72,45 +89,77 @@ def render_wave_tiled(mesh, scene, params, pixel_ids, sample_index, cfg):
 
 
 def render_spp_sharded(mesh, scene, params, pixel_ids, base_sample, cfg,
-                       samples_per_device: int = 1):
+                       samples_per_device: int = 1,
+                       use_merged: bool = False):
     """Sample-sharded render step with psum-merged accumulators.
 
     Every device traces the full pixel pool at sample indices
     base + dev * samples_per_device + k; radiance/weight sums merge over
     ICI with psum inside shard_map. Returns the replicated accumulated
     (radiance_sum, weight_sum, rays_traced).
+
+    use_merged=True traces each device's samples_per_device samples as
+    ONE merged k*N-lane wave (render_wave_merged): the per-bounce
+    coherence sort packs denser packets, which is the measured
+    throughput lever on the pallas backend — so a pod chip gets the same
+    merged-wave speedup a single chip does.
     """
     try:
         from jax import shard_map
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
+    import dataclasses
+
+    from tracerboy_tpu.trace.wavefront import render_wave_merged
+
+    # AOVs are per-pixel snapshots, not sums — they don't survive a psum
+    # merge. The sharded step returns only the accumulator planes.
+    cfg_l = dataclasses.replace(cfg, want_aovs=False)
+
     ndev = mesh.devices.size
     dev_ids = jnp.arange(ndev, dtype=jnp.int32)
 
-    key = (id(mesh), cfg, samples_per_device)
+    key = (id(mesh), cfg, samples_per_device, use_merged)
     fn = _spp_cache.get(key)
     if fn is None:
         def per_device(dev_id, base_l, scene_l, params_l, pixel_ids_l):
             dev = dev_id[0]
-            # Tie carries to the device id so their device-varying type
-            # is stable across fori_loop iterations.
-            vz = dev.astype(jnp.float32) * 0.0
-            rad = jnp.zeros((pixel_ids_l.shape[0], 3), jnp.float32) + vz
-            fw = jnp.zeros((pixel_ids_l.shape[0],), jnp.float32) + vz
-            rays = vz
+            base_dev = base_l + dev * samples_per_device
+            if use_merged and samples_per_device > 1:
+                out = render_wave_merged(
+                    scene_l, params_l, pixel_ids_l, base_dev,
+                    samples_per_device, cfg_l,
+                )
+                rad = jnp.stack(
+                    [out["radiance_r"], out["radiance_g"],
+                     out["radiance_b"]], axis=-1,
+                )
+                fw = out["filter_weight"]
+                rays = out["rays_traced"]
+            else:
+                # Tie carries to the device id so their device-varying
+                # type is stable across fori_loop iterations.
+                vz = dev.astype(jnp.float32) * 0.0
+                rad = jnp.zeros(
+                    (pixel_ids_l.shape[0], 3), jnp.float32) + vz
+                fw = jnp.zeros((pixel_ids_l.shape[0],), jnp.float32) + vz
+                rays = vz
 
-            def body(k, carry):
-                rad, fw, rays = carry
-                s_idx = base_l + dev * samples_per_device + k
-                out = render_wave(scene_l, params_l, pixel_ids_l, s_idx,
-                                  cfg)
-                return (rad + out["radiance"], fw + out["filter_weight"],
-                        rays + out["rays_traced"])
+                def body(k, carry):
+                    rad, fw, rays = carry
+                    out = render_wave(scene_l, params_l, pixel_ids_l,
+                                      base_dev + k, cfg_l)
+                    rad = rad + jnp.stack(
+                        [out["radiance_r"], out["radiance_g"],
+                         out["radiance_b"]], axis=-1,
+                    )
+                    return (rad, fw + out["filter_weight"],
+                            rays + out["rays_traced"])
 
-            rad, fw, rays = jax.lax.fori_loop(
-                0, samples_per_device, body, (rad, fw, rays)
-            )
+                rad, fw, rays = jax.lax.fori_loop(
+                    0, samples_per_device, body, (rad, fw, rays)
+                )
             # Merge accumulators across the mesh over ICI.
             rad = jax.lax.psum(rad, "tiles")
             fw = jax.lax.psum(fw, "tiles")

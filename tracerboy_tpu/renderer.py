@@ -73,7 +73,17 @@ class Renderer:
         film_size: tuple | None = None,
         seed: int = 0,
         volume=None,
+        shard: str | None = None,
+        mesh=None,
+        n_devices: int | None = None,
     ):
+        """shard: multi-chip scaling axis for render_sample —
+        None (single device), "tiles" (pixel pool split over the mesh,
+        zero-communication waves; SURVEY.md §2.8 primary axis), or
+        "spp" (every chip traces the full image at different sample
+        indices; accumulators psum-merge over ICI). mesh: an explicit
+        jax.sharding.Mesh; default builds a 1-D mesh over n_devices
+        (or all) local devices."""
         if isinstance(scene, str):
             scene = load_scene(scene, film_size=film_size)
         assert isinstance(scene, CompiledScene)
@@ -98,6 +108,14 @@ class Renderer:
         self.scene_pytree = scene.as_pytree(
             pack_pallas=(self.traversal == "pallas")
         )
+        if shard not in (None, "tiles", "spp"):
+            raise ValueError(f"shard must be None|'tiles'|'spp': {shard}")
+        self.shard = shard
+        self.mesh = mesh
+        if shard is not None and mesh is None:
+            from tracerboy_tpu.parallel.sharding import make_mesh
+
+            self.mesh = make_mesh(n_devices)
         self.state = self.make_state()
         self._start_time = time.time()
 
@@ -363,6 +381,10 @@ class Renderer:
         """
         from tracerboy_tpu.trace.wavefront import render_wave_batch
 
+        if self.shard == "spp":
+            return self._render_sample_spp_sharded(n)
+        if self.shard == "tiles":
+            return self._render_sample_tiled(n)
         cfg = self.wave_config()
         pixel_ids = jnp.arange(self.width * self.height, dtype=jnp.int32)
         params = self.frame_params()
@@ -411,6 +433,106 @@ class Renderer:
                 self.scene_pytree, params, pixel_ids,
                 jnp.int32(self.state.spp), cfg,
             )
+            self._accumulate(out)
+        return self.state
+
+    # -- multi-chip product paths (SURVEY.md §2.8; the reference is
+    # single-GPU — TracerBoy.cpp:2906-2908's SIMT dispatch is the axis
+    # these shard across chips) ------------------------------------------
+    def _render_sample_spp_sharded(self, n: int):
+        """n progressive samples sharded over the mesh by sample index:
+        every chip traces the full pixel pool, accumulators psum-merge
+        over ICI (the data-parallel gradient-accumulation analog).
+
+        n rounds UP to a multiple of the mesh size — each of the D
+        devices traces ceil(n/D) samples."""
+        from tracerboy_tpu.parallel.sharding import render_spp_sharded
+
+        cfg = self.wave_config()
+        ndev = self.mesh.devices.size
+        spd = -(-n // ndev)
+        params = self.frame_params()
+        mask = self.active_pixel_mask()
+        if mask is not None:
+            params["active_mask"] = mask
+            self._live_pixels = mask
+        ids = jnp.arange(self.width * self.height, dtype=jnp.int32)
+        use_merged = (
+            cfg.traversal == "pallas"
+            and spd > 1
+            and spd * ids.shape[0] <= 8_388_608
+        )
+        rad, fw, rays = render_spp_sharded(
+            self.mesh, self.scene_pytree, params, ids,
+            jnp.int32(self.state.spp), cfg, samples_per_device=spd,
+            use_merged=use_merged,
+        )
+        h, w = self.height, self.width
+        sample = jnp.concatenate(
+            [rad.reshape(h, w, 3), fw.reshape(h, w, 1)], axis=-1
+        )
+        st = self.state
+        st.accum = st.accum + sample
+        # Whole-batch coin for the jittered convergence accumulator —
+        # same unbiased coarsening render_wave_batch uses.
+        coin = tbrng.uniform(
+            jnp.arange(h * w), jnp.int32(st.spp), 0,
+            tbrng.STREAM_ACCUM_JITTER,
+        ).reshape(h, w, 1)
+        take = (st.spp == 0) | (coin[..., 0] < 0.5)
+        st.accum_jittered = jnp.where(
+            take[..., None], st.accum_jittered + sample, st.accum_jittered
+        )
+        st.spp += spd * ndev
+        return st
+
+    def _render_sample_tiled(self, n: int):
+        """n progressive samples with the pixel pool tile-sharded over
+        the mesh: the scene replicates, every per-ray array inherits the
+        pixel sharding, the wave itself needs zero communication; the
+        accumulate gathers shards (the per-frame CopyResource analog)."""
+        from tracerboy_tpu.parallel.sharding import (
+            render_wave_tiled,
+            shard_pixels,
+        )
+
+        cfg = self.wave_config()
+        h, w = self.height, self.width
+        N = w * h
+        if not hasattr(self, "_tiled_pixels"):
+            self._tiled_pixels = shard_pixels(self.mesh, w, h)
+        pixel_ids, pad = self._tiled_pixels
+        params = self.frame_params()
+        if "bn" in params:
+            # The cached blue-noise pre-gather covers W*H lanes; the
+            # tiled pool carries `pad` extra lanes.
+            if not hasattr(self, "_bn_cache_tiled"):
+                from tracerboy_tpu.trace.wavefront import (
+                    make_blue_noise_params,
+                )
+
+                self._bn_cache_tiled = make_blue_noise_params(
+                    self.scene_pytree,
+                    jnp.arange(N + pad, dtype=jnp.int32), w,
+                )
+            params["bn"] = self._bn_cache_tiled
+        mask = self.active_pixel_mask()
+        if mask is not None:
+            self._live_pixels = mask
+            params["active_mask"] = jnp.pad(
+                mask, (0, pad), constant_values=False
+            )
+        for _ in range(n):
+            out = render_wave_tiled(
+                self.mesh, self.scene_pytree, params, pixel_ids,
+                jnp.int32(self.state.spp), cfg,
+            )
+            n_lanes = N + pad
+            out = {
+                k: (v[:N] if getattr(v, "ndim", 0) >= 1
+                    and v.shape[0] == n_lanes else v)
+                for k, v in out.items()
+            }
             self._accumulate(out)
         return self.state
 
@@ -915,6 +1037,127 @@ class Renderer:
     def get_material(self, material_id: int) -> dict:
         mats = self.compiled.materials
         return {k: np.asarray(v[material_id]) for k, v in mats.items()}
+
+    # -- animated geometry (on-device rebuild) ---------------------------
+    def update_geometry(self, v0, v1, v2, normals=None):
+        """Move the scene's triangles and rebuild acceleration ON DEVICE.
+
+        The analog of the reference's per-change GPU LBVH rebuild
+        (GpuBVH2Builder.cpp:167-280): everything — vertex tables, flat
+        normals + UV tangents, fused tri9/attr rows, the packet kernel's
+        packed node/Baldwin-Weber tables and the shadow BVH — refreshes
+        as jnp ops via accel/bvh_device.build_bvh_device, with no host
+        round-trip. Triangle count, UVs and material assignment are
+        fixed (it's a deformation, not a topology edit), so after the
+        first post-update render the compiled program is reused for
+        every subsequent frame of an animation.
+
+        v0/v1/v2: (T, 3) arrays in the scene's triangle order.
+        normals: optional (T, 3) flat normals; default recomputes
+        cross(e1, e2) (the reference's flat-normal generation,
+        TracerBoy.cpp:1710-1729).
+
+        Supported for the brute and pallas traversal backends;
+        TLAS-instanced scenes and the lock-step jnp oracle keep their
+        host build (per-object rebuilds are not wired). The host-side
+        CompiledScene keeps the load-time geometry (checkpoint/scene
+        cache reflect the original scene)."""
+        if self.compiled.has_instances:
+            raise NotImplementedError(
+                "update_geometry: TLAS-instanced scenes not supported"
+            )
+        if self.traversal == "jnp":
+            raise NotImplementedError(
+                "update_geometry: the lock-step jnp oracle keeps its "
+                "host build; use the brute or pallas backend"
+            )
+        sp = self.scene_pytree
+        T = sp["tri_v0"].shape[0]
+        v0 = jnp.asarray(v0, jnp.float32)
+        v1 = jnp.asarray(v1, jnp.float32)
+        v2 = jnp.asarray(v2, jnp.float32)
+        if v0.shape != (T, 3):
+            raise ValueError(
+                f"update_geometry keeps topology: expected ({T}, 3), "
+                f"got {v0.shape}"
+            )
+        e1 = v1 - v0
+        e2 = v2 - v0
+        if normals is None:
+            n = jnp.cross(e1, e2)
+            n = n / jnp.maximum(
+                jnp.linalg.norm(n, axis=1, keepdims=True), 1e-12
+            )
+        else:
+            n = jnp.asarray(normals, jnp.float32)
+        # UV-parameterization tangent (same formula as compile-time).
+        d1 = sp["tri_uv1"] - sp["tri_uv0"]
+        d2 = sp["tri_uv2"] - sp["tri_uv0"]
+        det = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+        bad = jnp.abs(det) < 1e-12
+        tan = e1 * d2[:, 1:2] - e2 * d1[:, 1:2]
+        tan = jnp.where(
+            bad[:, None], e1, tan / jnp.where(bad, 1.0, det)[:, None]
+        )
+        tan = tan / jnp.maximum(
+            jnp.linalg.norm(tan, axis=1, keepdims=True), 1e-12
+        )
+        attr_rows = jnp.concatenate(
+            [n, n, n,
+             sp["tri_uv0"], sp["tri_uv1"], sp["tri_uv2"],
+             sp["tri_material"][:, None].astype(jnp.float32),
+             tan],
+            axis=1,
+        ).astype(jnp.float32)                            # (T, 19)
+        sp.update(
+            tri_v0=v0, tri_v1=v1, tri_v2=v2,
+            tri_n0=n, tri_n1=n, tri_n2=n,
+            tri9=jnp.concatenate([v0, v1, v2], axis=1),
+            tri_attr_rows=attr_rows,
+            tri_attr_t=attr_rows.T,
+            world_lo=jnp.minimum(jnp.minimum(v0, v1), v2).min(axis=0),
+            world_hi=jnp.maximum(jnp.maximum(v0, v1), v2).max(axis=0),
+        )
+        if self.traversal == "pallas":
+            from tracerboy_tpu.accel.bvh_device import (
+                build_bvh_device,
+                pack_for_pallas_device,
+            )
+
+            built = build_bvh_device(v0, v1, v2)
+            pk = pack_for_pallas_device(built, v0, v1, v2)
+            order = jnp.clip(pk["tri_map"], 0, T - 1)
+            sp.update(
+                pk_nodes=pk["nodes"], pk_tris_bw=pk["tris_bw"],
+                pk_tri_map=pk["tri_map"],
+                pk_attr_rows=attr_rows[order],
+            )
+            # Shadow BVH over non-light geometry (material assignment is
+            # fixed, so the opaque subset is static across updates).
+            so_idx = getattr(self, "_shadow_idx", None)
+            if so_idx is None:
+                opaque = (
+                    np.asarray(self.compiled.materials["flags"])[
+                        np.asarray(self.compiled.tri_material)] & 0x10
+                ) == 0
+                so_idx = np.where(opaque)[0]
+                if len(so_idx) == 0:
+                    so_idx = np.arange(1)
+                self._shadow_idx = jnp.asarray(so_idx.astype(np.int32))
+                so_idx = self._shadow_idx
+            built_sh = build_bvh_device(v0[so_idx], v1[so_idx], v2[so_idx])
+            pk_sh = pack_for_pallas_device(
+                built_sh, v0[so_idx], v1[so_idx], v2[so_idx]
+            )
+            sh_order = so_idx[jnp.clip(
+                pk_sh["tri_map"], 0, so_idx.shape[0] - 1)]
+            sp.update(
+                pk_sh_nodes=pk_sh["nodes"],
+                pk_sh_tris_bw=pk_sh["tris_bw"],
+                pk_sh_tri_map=sh_order.astype(jnp.int32),
+                pk_sh_attr_rows=attr_rows[sh_order],
+            )
+        self.invalidate_history()
 
     def set_material(self, material_id: int, **fields):
         """Live material editing: O(1) in scene size.

@@ -170,7 +170,11 @@ def procedural_cloud(n: int = 32, seed: int = 0) -> VolumeIR:
 
 
 def load_volume(path: str, lo=None, hi=None) -> VolumeIR:
-    """Dispatch on extension (.vol / .npy)."""
+    """Dispatch on extension (.vdb / .vol / .npy)."""
+    if path.endswith(".vdb"):
+        from tracerboy_tpu.scene.vdb import read_vdb
+
+        return read_vdb(path)
     if path.endswith(".vol"):
         return read_vol(path)
     if path.endswith(".npy"):
