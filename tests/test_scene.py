@@ -335,3 +335,73 @@ class TestSubsurfaceAndHair:
         img = np.asarray(r.resolve_radiance())
         assert np.isfinite(img).all()
         assert img.max() > 0
+
+
+class TestNoiseTextures:
+    """fbm / wrinkled / marble / windy / ptex textures parse AND shade
+    (the reference's parser models them, PBRTParser Scene.h:297-420; its
+    renderer drops them — we bake them to images)."""
+
+    SNIPPET = """
+Transform [ 1 0 0 0  0 1 0 0  0 0 -1 0  0 -1 6.8 1]
+Camera "perspective" "float fov" [ 19.5 ]
+Film "image" "integer xresolution" [ 32 ] "integer yresolution" [ 32 ]
+WorldBegin
+Texture "marb" "color" "marble" "integer octaves" [ 6 ] "float scale" [ 2 ]
+Texture "bump" "float" "fbm" "integer octaves" [ 4 ] "float roughness" [ 0.4 ]
+Texture "wrk" "color" "wrinkled"
+Texture "wnd" "color" "windy"
+AttributeBegin
+AreaLightSource "diffuse" "rgb L" [ 10 10 10 ]
+Shape "trianglemesh" "integer indices" [ 0 1 2 ] "point P" [ -0.2 1.9 -0.2 0.2 1.9 -0.2 0.2 1.9 0.2 ]
+AttributeEnd
+Material "matte" "texture Kd" "marb"
+Shape "trianglemesh" "integer indices" [ 0 1 2 0 2 3 ] "point P" [ -1 0 -1 -1 0 1 1 0 1 1 0 -1 ] "float uv" [ 0 0 0 1 1 1 1 0 ]
+WorldEnd
+"""
+
+    def _scene_file(self, tmp_path):
+        p = tmp_path / "noise.pbrt"
+        p.write_text(self.SNIPPET)
+        return str(p)
+
+    def test_parse_and_compile(self, tmp_path):
+        from tracerboy_tpu.scene.compile import load_scene
+        from tracerboy_tpu.scene.pbrt_parser import parse_pbrt
+
+        scene = parse_pbrt(self._scene_file(tmp_path))
+        kinds = {t.type for t in scene.textures.values()}
+        assert {"marble", "fbm", "wrinkled", "windy"} <= kinds
+        marb = scene.textures["marb"]
+        assert marb.octaves == 6 and marb.scale == 2.0
+
+        cs = load_scene(self._scene_file(tmp_path), use_cache=False)
+        # marble must have baked to an image record bound to Kd
+        import numpy as np
+
+        assert (np.asarray(cs.tex_records["ttype"]) == 0).any()
+        assert np.isfinite(np.asarray(cs.tex_images)).all()
+
+    def test_bake_values(self):
+        import numpy as np
+
+        from tracerboy_tpu.scene.textures import bake_noise_texture
+        from tracerboy_tpu.scene.types import TextureIR
+
+        for kind in ("fbm", "wrinkled", "marble", "windy"):
+            img = bake_noise_texture(
+                TextureIR(name="t", type=kind), res=64)
+            assert img.shape == (64, 64, 3)
+            assert np.isfinite(img).all()
+            assert 0.0 <= img.min() and img.max() <= 1.0
+            assert img.std() > 0.01, f"{kind} bake is flat"
+
+    def test_renders(self, tmp_path):
+        import numpy as np
+
+        from tracerboy_tpu.renderer import Renderer
+
+        r = Renderer(self._scene_file(tmp_path), film_size=(16, 16))
+        r.render_sample(2)
+        img = np.asarray(r.resolve_radiance())
+        assert np.isfinite(img).all() and img.mean() > 0

@@ -542,6 +542,22 @@ def _make_texture(name, tclass, params) -> TextureIR:
         t.tex2 = _vec3(params, "tex2", [1.0, 1.0, 1.0])
         t.tex1_name = _tex_or_none(params, "tex1")
         t.tex2_name = _tex_or_none(params, "tex2")
+    elif tclass in ("fbm", "wrinkled", "marble", "windy"):
+        # Noise-based procedural textures (the reference's parser
+        # models these, PBRTParser Scene.h:297-420; its renderer drops
+        # them — TracerBoy.cpp:177-251 handles image/checker/scale
+        # only). We keep the parameters; the texture allocator bakes
+        # them to an image so they actually shade.
+        t.octaves = int(_scalar(params, "octaves", 8))
+        t.roughness = float(_scalar(params, "roughness", 0.5))
+        t.scale = float(_scalar(params, "scale", 1.0))
+        t.variation = float(_scalar(params, "variation", 0.2))
+    elif tclass == "ptex":
+        # Per-face Ptex needs face ids no runtime here carries (the
+        # reference drops it too); record the file for the IR, shade
+        # as mid-gray constant.
+        t.filename = str(_scalar(params, "filename", ""))
+        t.tex1 = np.array([0.5, 0.5, 0.5], np.float32)
     return t
 
 

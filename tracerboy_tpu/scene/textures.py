@@ -30,6 +30,77 @@ TEX_CONSTANT = 3
 GAMMA_FLAG = 0x1
 
 
+def _perlin2(x, y, seed=0):
+    """Vectorized 2-D gradient (Perlin) noise in [-1, 1]."""
+    xi = np.floor(x).astype(np.int64)
+    yi = np.floor(y).astype(np.int64)
+    xf = x - xi
+    yf = y - yi
+
+    def grad(ix, iy, dx, dy):
+        h = (ix * 374761393 + iy * 668265263 + seed * 1274126177)
+        h = (h ^ (h >> 13)) * 1274126177
+        h = (h ^ (h >> 16)) & 7
+        ang = h.astype(np.float64) * (2 * np.pi / 8.0)
+        return np.cos(ang) * dx + np.sin(ang) * dy
+
+    def fade(t):
+        return t * t * t * (t * (t * 6 - 15) + 10)
+
+    u, v = fade(xf), fade(yf)
+    n00 = grad(xi, yi, xf, yf)
+    n10 = grad(xi + 1, yi, xf - 1, yf)
+    n01 = grad(xi, yi + 1, xf, yf - 1)
+    n11 = grad(xi + 1, yi + 1, xf - 1, yf - 1)
+    nx0 = n00 + u * (n10 - n00)
+    nx1 = n01 + u * (n11 - n01)
+    return (nx0 + v * (nx1 - nx0)).astype(np.float32)
+
+
+def _fbm2(x, y, octaves, roughness, turbulence=False):
+    """pbrt-style fractional Brownian motion (sum of lacunarity-1.99
+    octaves with geometric amplitude falloff); turbulence sums |noise|
+    (the Wrinkled/marble basis)."""
+    out = np.zeros_like(x, np.float32)
+    lam, amp = 1.0, 1.0
+    for i in range(max(1, int(octaves))):
+        n = _perlin2(x * lam, y * lam, seed=i)
+        out += amp * (np.abs(n) if turbulence else n)
+        lam *= 1.99
+        amp *= roughness
+    return out
+
+
+def bake_noise_texture(ir, res: int = 256) -> np.ndarray:
+    """Evaluate a noise TextureIR (fbm / wrinkled / marble / windy) over
+    the UV unit square as a (res, res, 3) linear image."""
+    s = 8.0 * max(ir.scale, 1e-6)
+    v, u = np.meshgrid(
+        np.linspace(0, 1, res, endpoint=False),
+        np.linspace(0, 1, res, endpoint=False), indexing="ij",
+    )
+    x, y = u * s, v * s
+    if ir.type == "fbm":
+        g = 0.5 + 0.5 * _fbm2(x, y, ir.octaves, ir.roughness)
+        img = np.repeat(g[..., None], 3, axis=2)
+    elif ir.type == "wrinkled":
+        g = _fbm2(x, y, ir.octaves, ir.roughness, turbulence=True)
+        img = np.repeat((g / max(g.max(), 1e-6))[..., None], 3, axis=2)
+    elif ir.type == "windy":
+        # pbrt windy: fbm at 1/10 frequency modulating |fbm| strength.
+        wave = _fbm2(0.1 * x, 0.1 * y, 3, 0.5)
+        amp = np.abs(_fbm2(x, y, 6, 0.5))
+        g = np.abs(wave) * amp
+        img = np.repeat((g / max(g.max(), 1e-6))[..., None], 3, axis=2)
+    else:  # marble: sine bands warped by turbulence, pbrt palette blend
+        t = _fbm2(x, y, ir.octaves, ir.roughness, turbulence=True)
+        band = 0.5 + 0.5 * np.sin(4.0 * v * s + ir.variation * 10.0 * t)
+        c1 = np.array([0.58, 0.58, 0.6], np.float32)
+        c2 = np.array([0.21, 0.2, 0.22], np.float32)
+        img = c1 * band[..., None] + c2 * (1.0 - band[..., None])
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
 class TextureAllocator:
     def __init__(self, base_dir: str, texture_irs: dict):
         self.base_dir = base_dir
@@ -82,6 +153,23 @@ class TextureAllocator:
                         ir.tex2 if ir.tex2 is not None else (1, 1, 1), np.float32
                     ),
                     sub1=sub1, sub2=sub2,
+                )
+            )
+        if ir.type in ("fbm", "wrinkled", "marble", "windy"):
+            # Bake the noise texture to an image record (256^2 over the
+            # UV unit square). This goes PAST the reference renderer,
+            # which parses but never shades these types
+            # (TracerBoy.cpp:177-251 handles image/checker/scale only);
+            # pbrt evaluates them in 3D shading space — a UV-domain bake
+            # is the 2D projection of that field.
+            self.images.append(bake_noise_texture(ir))
+            return self._add_record(
+                dict(
+                    ttype=TEX_IMAGE, flags=0,
+                    image_idx=len(self.images) - 1,
+                    uscale=ir.uscale, vscale=ir.vscale,
+                    color1=np.zeros(3, np.float32),
+                    color2=np.zeros(3, np.float32), sub1=-1, sub2=-1,
                 )
             )
         # constant or unsupported: constant color record

@@ -94,6 +94,10 @@ class TextureIR:
     tex2: np.ndarray | None = None
     tex1_name: str | None = None
     tex2_name: str | None = None
+    # noise-texture parameters (fbm / wrinkled / marble / windy)
+    octaves: int = 8
+    roughness: float = 0.5
+    variation: float = 0.2
 
 
 @dataclass

@@ -61,6 +61,17 @@ EPSILON = 1e-4
 MIN_BOUNCES_BEFORE_RR = 2  # kernel.glsl:1276-1277
 
 
+def _pallas_interpret() -> bool:
+    """Run the packet kernels in interpret mode off-TPU: compiled pallas
+    only lowers on TPU hardware; on the CPU backend (tests, the driver's
+    virtual-mesh dryrun) the same kernels execute interpreted, keeping
+    traversal="pallas" a valid backend everywhere. TB_PALLAS_INTERPRET=1
+    forces it on TPU (kernel debugging)."""
+    if os.environ.get("TB_PALLAS_INTERPRET") == "1":
+        return True
+    return jax.default_backend() != "tpu"
+
+
 def _coherence_sort(origin, direction, world_lo, world_hi, t_max=None):
     """Sort key grouping rays into coherent packets: direction octant
     (3 bits) then origin morton (the wavefront ray-sorting step; the
@@ -198,6 +209,7 @@ def _pallas_closest(scene, origin, direction, t_max, shadow: bool,
     out = traverse_packets2(
         o_s, d_s, tmax_p, packed, tris_in_hbm=tris_in_hbm,
         stats=want_stats, sub=_PACKET_SUB, interval=_INTERVAL_NODES,
+        interpret=_pallas_interpret(),
     )
     if want_stats:
         t, tri, u, v, st = out
@@ -233,6 +245,7 @@ def _pallas_anyhit(scene, origin, direction, t_max, compact: bool = True):
         occ = anyhit_packets2(
             o_s, d_s, tmax_p, packed, tris_in_hbm=tris_in_hbm,
             sub=_PACKET_SUB, interval=_INTERVAL_NODES,
+            interpret=_pallas_interpret(),
         )
     _, occ = jax.lax.sort(
         (sidx, occ[:N].astype(jnp.int32)), num_keys=1
@@ -338,7 +351,8 @@ def _closest_once(scene, o_v3, d_v3, t_max, cfg, shadow=False,
 
         cap = jnp.minimum(t_max, t)
         t2, tri2, u2, v2, in2 = instanced_closest(
-            scene, v3.to_rows(o_v3), v3.to_rows(d_v3), cap
+            scene, v3.to_rows(o_v3), v3.to_rows(d_v3), cap,
+            interpret=_pallas_interpret(),
         )
         take = (tri2 >= 0) & (t2 < t)
         t = jnp.where(take, t2, t)
@@ -406,7 +420,8 @@ def _occluded_dispatch(scene, o_v3, d_v3, t_max, cfg):
         from tracerboy_tpu.trace.instanced import instanced_closest
 
         t_i, tri_i, _, _, _ = instanced_closest(
-            scene, v3.to_rows(o_v3), v3.to_rows(d_v3), t_max
+            scene, v3.to_rows(o_v3), v3.to_rows(d_v3), t_max,
+            interpret=_pallas_interpret(),
         )
         occ_inst = tri_i >= 0
     if not cfg.has_alpha:
