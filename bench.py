@@ -456,12 +456,73 @@ def bench_oidn_rmse(results, scene_key, film, golden_path, spp=8):
         results[f"rmse8/{scene_key}"] = round(best, 5)
 
 
+def bench_tungsten(results, scene_key, golden_path, film, spp=200):
+    """EXTERNAL fidelity anchors (round-3 verdict item 5): render
+    against the Tungsten goldens the reference ships
+    (Scenes/{Teapot,dragon}/TungstenRender.exr — "validated against
+    PBRT", reference README.md:14). Unlike the self-rendered goldens
+    under goldens/ (regression tracking only — they measure noise, not
+    correctness), these come from an independent renderer, so a
+    systematic shading/transform bias cannot hide.
+
+    Reports overall tonemapped RMSE plus per-region RMSE and MEAN SIGNED
+    error over golden-luminance bands (shadows / midtones / highlights /
+    emitters) — a uniform bias shows up as a consistent signed offset in
+    one band even when the overall RMSE looks fine. Scene integrity is
+    attached because dragon's checkout is missing most of its PLY tris.
+    """
+    import numpy as np
+
+    if not os.path.exists(golden_path):
+        results[f"tungsten/{scene_key}"] = "missing golden"
+        return
+    from tracerboy_tpu.core.image_io import read_exr_rgb
+    from tracerboy_tpu.renderer import Renderer
+
+    golden = read_exr_rgb(golden_path)
+    gh, gw = golden.shape[:2]
+    fw, fh = film
+    assert gh % fh == 0 and gw % fw == 0, (film, golden.shape)
+    g = golden.reshape(fh, gh // fh, fw, gw // fw, 3).mean(axis=(1, 3))
+
+    r = Renderer(SCENES[scene_key], film_size=film)
+    results[f"tungsten/{scene_key}-integrity"] = _scene_integrity(r)
+    done = 0
+    while done < spp:
+        n = min(32, spp - done)
+        r.render_sample(n)
+        done += n
+    ours = np.asarray(r.resolve_radiance())
+
+    tg = _tonemapped(g)
+    to = _tonemapped(ours)
+    err = to - tg
+    results[f"tungsten/{scene_key}"] = round(
+        float(np.sqrt((err ** 2).mean())), 5)
+    luma = 0.2126 * tg[..., 0] + 0.7152 * tg[..., 1] + 0.0722 * tg[..., 2]
+    q25, q75, q98 = np.quantile(luma, [0.25, 0.75, 0.98])
+    bands = dict(
+        shadows=luma < q25,
+        midtones=(luma >= q25) & (luma < q75),
+        highlights=(luma >= q75) & (luma < q98),
+        emitters=luma >= q98,
+    )
+    for name, m in bands.items():
+        if m.sum() == 0:
+            continue
+        results[f"tungsten/{scene_key}-{name}"] = dict(
+            rmse=round(float(np.sqrt((err[m] ** 2).mean())), 5),
+            bias=round(float(err[m].mean()), 5),
+        )
+
+
 def main():
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip", default="",
-                    help="comma list: headline,configs,realtime,psnr,rmse")
+                    help="comma list: headline,configs,realtime,psnr,"
+                         "rmse,tungsten")
     ap.add_argument("--runs", type=int, default=100)
     args = ap.parse_args()
     skip = set(args.skip.split(","))
@@ -510,6 +571,16 @@ def main():
         guard("rmse8/vw-van", bench_oidn_rmse,
               results, "vw-van", (512, 320),
               os.path.join(GOLDEN_DIR, "vwvan_512x320.exr"))
+    if "tungsten" not in skip:
+        # External anchors from an independent renderer; the committed
+        # goldens/ EXRs above are self-rendered and track regressions
+        # only — they cannot catch a shared systematic bias. These can.
+        guard("tungsten/teapot", bench_tungsten, results, "teapot",
+              "/root/reference/Scenes/Teapot/TungstenRender.exr",
+              (640, 360))
+        guard("tungsten/dragon", bench_tungsten, results, "dragon",
+              "/root/reference/Scenes/dragon/TungstenRender.exr",
+              (640, 360))
 
     print(
         json.dumps(

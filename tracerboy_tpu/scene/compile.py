@@ -913,7 +913,15 @@ def load_scene_async(path: str, use_cache: bool = True, film_size=None,
 
 
 def load_scene(path: str, use_cache: bool = True, film_size=None) -> CompiledScene:
-    """Parse + compile a scene file, with transparent .npz caching."""
+    """Parse + compile a scene file, with transparent .npz caching.
+
+    "shadertoy" / "shadertoy:<name>" selects a built-in procedural scene
+    (scene/procedural.py — the reference kernel's IS_SHADER_TOY mode)."""
+    if path == "shadertoy" or path.startswith("shadertoy:"):
+        from tracerboy_tpu.scene.procedural import shadertoy_scene
+
+        name = path.split(":", 1)[1] if ":" in path else "benchmark"
+        return shadertoy_scene(name, film_size=film_size)
     if path.endswith(".npz"):
         return load_compiled(path)
     cache = path + ".tbcache.npz"
