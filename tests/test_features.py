@@ -392,3 +392,75 @@ def test_heatmap_aov_nonzero_on_pallas(tmp_path):
         os.environ.pop("TB_TRAVERSAL", None)
         os.environ.pop("TB_BINNED", None)
         pt2.traverse_packets2, pt2.anyhit_packets2 = orig
+
+
+class TestTransparentShadows:
+    """Transmissive shadow rays (wavefront._shadow_transmittance): the
+    reference's parked SHADOW_BOUNCES design (kernel.glsl:1447-1512,
+    disabled at 1479) made to work, opt-in."""
+
+    def _scene(self, tmp_path, glass_pane: bool):
+        pane = """
+MakeNamedMaterial "pane" "string type" "glass" "float index" [ 1.5 ]
+AttributeBegin
+NamedMaterial "pane"
+Shape "trianglemesh" "integer indices" [ 0 1 2 0 2 3 ] "point P" [ -0.6 1.0 -0.6 0.6 1.0 -0.6 0.6 1.0 0.6 -0.6 1.0 0.6 ]
+AttributeEnd
+""" if glass_pane else ""
+        body = f"""
+Transform [ 1 0 0 0  0 1 0 0  0 0 -1 0  0 -1 6.8 1]
+Camera "perspective" "float fov" [ 19.5 ]
+Film "image" "integer xresolution" [ 24 ] "integer yresolution" [ 24 ]
+WorldBegin
+AttributeBegin
+AreaLightSource "diffuse" "rgb L" [ 20 20 20 ]
+Shape "trianglemesh" "integer indices" [ 0 1 2 0 2 3 ] "point P" [ -0.3 1.9 -0.3 0.3 1.9 -0.3 0.3 1.9 0.3 -0.3 1.9 0.3 ]
+AttributeEnd
+{pane}
+Material "matte" "rgb Kd" [ 0.7 0.7 0.7 ]
+Shape "trianglemesh" "integer indices" [ 0 1 2 0 2 3 ] "point P" [ -1 0 -1 -1 0 1 1 0 1 1 0 -1 ]
+WorldEnd
+"""
+        p = tmp_path / f"pane{int(glass_pane)}.pbrt"
+        p.write_text(body)
+        return str(p)
+
+    def _render(self, path, transparent, spp=8):
+        import dataclasses
+
+        import numpy as np
+
+        from tracerboy_tpu.renderer import Renderer
+        from tracerboy_tpu.utils.config import default_output_settings
+
+        s = default_output_settings()
+        s = s.replace(performance_settings=dataclasses.replace(
+            s.performance_settings, max_bounces=2, use_blue_noise=False,
+            transparent_shadows=transparent,
+        ))
+        r = Renderer(path, settings=s, film_size=(24, 24))
+        r.render_sample(spp)
+        return np.asarray(r.resolve_radiance())
+
+    def test_glass_pane_passes_light(self, tmp_path):
+        import numpy as np
+
+        path = self._scene(tmp_path, glass_pane=True)
+        hard = self._render(path, transparent=False)
+        soft = self._render(path, transparent=True)
+        # NEE through the pane: the floor under the pane must brighten.
+        floor = np.s_[12:, :, :]
+        assert soft[floor].mean() > hard[floor].mean() * 1.5, (
+            soft[floor].mean(), hard[floor].mean())
+        # And never exceed the unoccluded level (Fresnel loses energy).
+        clear = self._render(self._scene(tmp_path, glass_pane=False),
+                             transparent=True)
+        assert soft[floor].mean() < clear[floor].mean() * 1.01
+
+    def test_noop_without_glass(self, tmp_path):
+        import numpy as np
+
+        path = self._scene(tmp_path, glass_pane=False)
+        hard = self._render(path, transparent=False)
+        soft = self._render(path, transparent=True)
+        np.testing.assert_allclose(soft, hard, atol=1e-5)

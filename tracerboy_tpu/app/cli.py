@@ -43,6 +43,10 @@ def build_parser():
                         "env dome is the scene's only light")
     p.add_argument("--ris", action="store_true",
                    help="enable reservoir (RIS) light sampling")
+    p.add_argument("--transparent-shadows", action="store_true",
+                   help="glass attenuates shadow rays by Fresnel "
+                        "transmission instead of hard-occluding "
+                        "(straight-line approximation)")
     p.add_argument("--no-auto-exposure", action="store_true")
     p.add_argument("--exposure", type=float, default=1.0)
     p.add_argument("--firefly-clamp", type=float, default=0.0)
@@ -125,6 +129,7 @@ def main(argv=None):
         enable_next_event_estimation=not args.no_nee,
         enable_sampling_importance_resampling=args.ris,
         environment_nee=args.env_nee,
+        transparent_shadows=args.transparent_shadows,
         **({"max_bounces": args.max_bounces} if args.max_bounces else {}),
     )
     post = dataclasses.replace(

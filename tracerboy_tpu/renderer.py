@@ -286,6 +286,7 @@ class Renderer:
             ),
             has_volume=self.compiled.has_volume,
             has_instances=self.compiled.has_instances,
+            transparent_shadows=perf.transparent_shadows,
             want_heatmap=(s.output_type == OutputType.HEATMAP),
             traversal=self.traversal,
             binned_bounces=self._use_binned(),

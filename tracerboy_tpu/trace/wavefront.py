@@ -476,6 +476,90 @@ def _occluded_dispatch(scene, o_v3, d_v3, t_max, cfg):
     return occluded | occ_inst if occ_inst is not None else occluded
 
 
+def _shadow_transmittance(scene, o_v3, d_v3, t_max, cfg):
+    """Shadow-ray TRANSMITTANCE: glass passes light with a Fresnel
+    transmission factor instead of hard-occluding.
+
+    The reference designed exactly this march — a SHADOW_BOUNCES loop
+    whose subsurface branch advances the feeler through the interface
+    with Fresnel in/out factors (kernel.glsl:1447-1512) — and shipped it
+    disabled (`else if(false)`, kernel.glsl:1479), so glass hard-shadows
+    there. This is the working wavefront version, opt-in
+    (cfg.transparent_shadows): a straight-line closest-hit march where
+    zero-scatter SSS surfaces (glass) multiply (1 - Schlick(cos)) per
+    interface and the ray continues; alpha cutouts pass below the
+    cutoff like the any-hit path; anything else terminates at zero.
+    Straight-line transmission ignores refraction bending — the same
+    approximation the reference's parked code makes.
+
+    Returns (transmittance f32 in [0, 1], per lane).
+    """
+    from tracerboy_tpu.core import vec3 as v3
+
+    attr_key = ("pk_sh_attr_rows" if cfg.traversal == "pallas"
+                else "tri_attr_rows")
+    shadow_opaque = scene.get("tri_shadow_opaque")
+    mats = scene["materials"]
+    n_mat = mats["flags"].shape[0]
+    T = jnp.ones_like(t_max)
+    o_cur = o_v3
+    t_base = jnp.zeros_like(t_max)
+    budget = t_max
+    for _ in range(cfg.shadow_glass_rounds + 1):
+        t, tri, u, v, _, _ = _closest_once(
+            scene, o_cur, d_v3, budget, cfg,
+            shadow=(cfg.traversal == "pallas"),
+        )
+        hit = tri >= 0
+        tbl = scene[attr_key]
+        rows = tbl[jnp.clip(tri, 0, tbl.shape[0] - 1)]
+        mid = jnp.clip(rows[:, 15].astype(jnp.int32), 0, n_mat - 1)
+        flags = mats["flags"][mid]
+        scat = jnp.max(mats["scattering"][mid], axis=-1)
+        is_glass = ((flags & 0x2) != 0) & (scat < 1e-6)
+        is_light = (flags & 0x10) != 0
+        if shadow_opaque is not None and cfg.traversal != "pallas":
+            # Non-pallas backends intersect the full table; lights are
+            # pass-through there too (the IsLight skip).
+            Ttris = shadow_opaque.shape[0]
+            is_light = is_light | ~shadow_opaque[
+                jnp.clip(tri, 0, Ttris - 1)]
+        if cfg.has_alpha:
+            a = _alpha_at_hit(scene, tri, u, v, attr_key)
+            cutout = a < ALPHA_CUTOFF
+        else:
+            cutout = hit & False
+        # Fresnel transmission at the interface (Schlick from the
+        # material IOR; cos against the flat shading normal row).
+        ior = mats["ior"][mid]
+        nrm = v3.V3(rows[:, 0], rows[:, 1], rows[:, 2])
+        cos_i = jnp.abs(v3.dot(d_v3, nrm))
+        r0 = jnp.square((ior - 1.0) / jnp.maximum(ior + 1.0, 1e-6))
+        fres = r0 + (1.0 - r0) * jnp.power(1.0 - cos_i, 5.0)
+        passes = hit & (is_glass | is_light | cutout)
+        T = jnp.where(
+            hit & is_glass & ~is_light, T * (1.0 - fres), T)
+        T = jnp.where(hit & ~passes, 0.0, T)
+        step = t + 1e-4 + 1e-4 * jnp.abs(t)
+        cont = passes & (T > 1e-4)
+        o_cur = v3.where(cont, o_cur + d_v3 * step, o_cur)
+        t_base = jnp.where(cont, t_base + step, t_base)
+        budget = jnp.where(
+            cont, jnp.maximum(t_max - t_base, 0.0), 0.0)
+    # A surviving pass at the round limit is treated as occluded
+    # (conservative, like the alpha loop's bounded re-fires).
+    T = jnp.where(budget > 0.0, 0.0, T)
+    if cfg.has_instances:
+        from tracerboy_tpu.trace.instanced import instanced_closest
+
+        t_i, tri_i, _, _, _ = instanced_closest(
+            scene, v3.to_rows(o_v3), v3.to_rows(d_v3), t_max,
+            interpret=_pallas_interpret(),
+        )
+        T = jnp.where(tri_i >= 0, 0.0, T)
+    return T
+
+
 @dataclass(frozen=True)
 class WaveConfig:
     """Static integrator configuration (specializes the jit)."""
@@ -519,6 +603,14 @@ class WaveConfig:
     # (SharedHitGroup.h:157-179 / AnyHit.hlsl as a wavefront re-trace).
     has_alpha: bool = False
     alpha_rounds: int = 3
+    # Transmissive shadow rays (_shadow_transmittance): glass multiplies
+    # a Fresnel transmission factor per interface instead of
+    # hard-occluding — the reference's parked SHADOW_BOUNCES design
+    # (kernel.glsl:1447-1512, disabled at 1479) made to work. Opt-in:
+    # straight-line transmission is an approximation (no refraction
+    # bending), so it slightly shifts the converged image.
+    transparent_shadows: bool = False
+    shadow_glass_rounds: int = 3
     # Normal mapping (GetDetailNormal, RayGenCommon.h:273-295).
     has_normal_maps: bool = False
     # Traversal-cost heatmap AOV: on the pallas backend this turns on
@@ -1142,9 +1234,16 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
             if cfg.has_volume:
                 sh_org = v3.where(vol_scatter, vol_point, sh_org)
             sh_tmax = jnp.where(do_nee, ls["distance"] * (1.0 - 1e-3), 0.0)
-            occluded = _occluded_dispatch(
-                scene, sh_org, ls["direction"], sh_tmax, cfg
-            )
+            if cfg.transparent_shadows:
+                sh_T = _shadow_transmittance(
+                    scene, sh_org, ls["direction"], sh_tmax, cfg
+                )
+                occluded = sh_T <= 1e-4
+            else:
+                sh_T = None
+                occluded = _occluded_dispatch(
+                    scene, sh_org, ls["direction"], sh_tmax, cfg
+                )
             surf_w = diffuse_brdf_soa(ls["direction"], detail_normal)
             if cfg.has_volume:
                 # Henyey-Greenstein phase value at the volume vertex.
@@ -1161,6 +1260,8 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
                 * jnp.abs(v3.dot(ls["normal"], ls["direction"]))
                 / jnp.maximum(ls["pdf"], 1e-12)
             )
+            if sh_T is not None:
+                light_mult = light_mult * sh_T
             add = do_nee & ~occluded
             nee_albedo = mat["albedo"]
             if cfg.decouple_albedo:
@@ -1343,7 +1444,15 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
             )
             e_org = hit_point + normal * EPSILON
             e_tmax = jnp.where(do_env, BIG, 0.0)
-            e_occ = _occluded_dispatch(scene, e_org, env_dir, e_tmax, cfg)
+            if cfg.transparent_shadows:
+                e_T = _shadow_transmittance(
+                    scene, e_org, env_dir, e_tmax, cfg
+                )
+                e_occ = e_T <= 1e-4
+            else:
+                e_T = None
+                e_occ = _occluded_dispatch(
+                    scene, e_org, env_dir, e_tmax, cfg)
             # BSDF pdf of the env direction under the same mixed-lobe
             # model as the throughput update below (balance heuristic
             # denominator must mirror the escape estimator's pdf).
@@ -1405,6 +1514,8 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
                     scene["env_transform"], scene["env_color_scale"],
                 )
             e_gain = w_env / jnp.maximum(env_pdf, 1e-12)
+            if e_T is not None:
+                e_gain = e_gain * e_T
             if cfg.has_volume:
                 # The opaque-BVH occlusion test alone would add FULL env
                 # radiance through the medium — biased bright (advisor,

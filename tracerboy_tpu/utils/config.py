@@ -135,6 +135,12 @@ class PerformanceSettings:
     # 0), where escape-only sampling is the dominant variance; "on" /
     # "off" force it. Unbiased either way (balance-heuristic MIS).
     environment_nee: str = "auto"
+    # Transmissive shadow rays: glass attenuates NEE shadow feelers with
+    # a per-interface Fresnel factor instead of hard-occluding — the
+    # reference's parked SHADOW_BOUNCES design (kernel.glsl:1447-1512,
+    # disabled at 1479) made to work. Straight-line approximation; off
+    # by default for reference-parity transport.
+    transparent_shadows: bool = False
     # Wavefront-specific (no reference analog): rays processed per wave and
     # whether pools are compacted between bounces.
     enable_ray_compaction: bool = True
