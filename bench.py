@@ -205,8 +205,9 @@ def bench_config_waves(results, n_runs=6):
             mrays1, rpw = _throughput(step, scene, params, pixel_ids,
                                       n_runs)
             results[f"mrays/{name}-{r.traversal}-k1"] = round(mrays1, 2)
-            # Production merge factor: the renderer's 8M-lane budget.
-            k = max(1, min(32, 8_388_608 // pixel_ids.shape[0]))
+            # Production merge factor: the renderer's 8M-lane budget
+            # (density cap 48 per the round-4 vw-van sweep).
+            k = max(1, min(48, 8_388_608 // pixel_ids.shape[0]))
             cfg = r.wave_config()
             import dataclasses
             cfg = dataclasses.replace(cfg, max_bounces=6, want_aovs=False)
@@ -238,7 +239,7 @@ def bench_config_waves(results, n_runs=6):
             bn=make_blue_noise_params(r.scene_pytree, pixel_ids, film[0]),
         )
         results["integrity/vw-van-synthenv"] = _scene_integrity(r)
-        k = max(1, min(32, 8_388_608 // pixel_ids.shape[0]))
+        k = max(1, min(48, 8_388_608 // pixel_ids.shape[0]))
         mstep = jax.jit(partial(render_wave_merged, k=k, cfg=cfg))
         mrays, _ = _throughput(mstep, r.scene_pytree, params, pixel_ids,
                                max(2, n_runs // 2))
@@ -564,6 +565,11 @@ def main():
               results, "vw-van", (1920, 1200),
               os.path.join(GOLDEN_DIR, "vwvan_1080p.exr"),
               time_limit=600.0, tag="vw-van-1080p")
+        # The 1080p golden is a PROXY (256 spp + OIDN cleanup,
+        # scripts/make_1080p_golden.py): converged-at-1080p is hours of
+        # chip time. Accurate enough to decide whether 35 dB (RMSE
+        # 0.018) is reached; flagged so the number is read accordingly.
+        results["psnr35/vw-van-1080p-golden"] = "proxy-256spp-oidn"
     if "rmse" not in skip:
         guard("rmse8/cornell", bench_oidn_rmse,
               results, "cornell", (512, 512),

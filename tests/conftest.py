@@ -19,9 +19,28 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache + bounded live-executable set: the XLA CPU
+# compiler segfaults deterministically deep into a single-process run of
+# the full suite (reproduced twice at the same point, LLVM frame inside
+# backend_compile_and_load; test modules pass in isolation). Clearing
+# jax's executable caches between modules keeps the compiler state
+# bounded, and the disk cache makes the resulting recompiles cheap.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
 
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compiler_state():
+    yield
+    jax.clear_caches()
 
 REFERENCE_ROOT = "/root/reference"
 SCENES_ROOT = os.path.join(REFERENCE_ROOT, "Scenes")

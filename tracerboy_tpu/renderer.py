@@ -407,7 +407,11 @@ class Renderer:
                 and params.get("selected_pixel") is None
             )
             if use_merged:
-                k_max = max(1, min(32, 8_388_608 // max(pixel_ids.shape[0], 1)))
+                # Density cap 48 (was 32): vw-van merged waves measured
+                # 1.58 (k=16) -> 2.05 (k=32) -> 2.27 Mrays/s (k=48,
+                # 7.86M lanes) on v5e — the round-4 sweep
+                # (scripts/bench_merged.py); lane cap unchanged.
+                k_max = max(1, min(48, 8_388_608 // max(pixel_ids.shape[0], 1)))
                 done = 0
                 while done < n:
                     kk = min(n - done, k_max)
@@ -883,7 +887,7 @@ class Renderer:
                                       want_aovs=True)
             params = self.frame_params()
             pixel_ids = jnp.arange(N, dtype=jnp.int32)
-            k_max = max(1, min(32, 8_388_608 // N))
+            k_max = max(1, min(48, 8_388_608 // N))
             acc: dict = {}
             done = 0
             while done < spp:
