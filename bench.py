@@ -534,11 +534,11 @@ def main():
     # Every config is individually fenced: ONE failure must never zero
     # the round's numbers again (round-3 postmortem — bench_headline ran
     # unguarded and its KeyError took out every config downstream).
-    def guard(tag, fn, *a, **kw):
+    def guard(label, fn, *a, **kw):
         try:
             return fn(*a, **kw)
         except Exception as e:
-            results[f"{tag}"] = f"error: {type(e).__name__}: {e}"
+            results[f"{label}"] = f"error: {type(e).__name__}: {e}"
             return None
 
     if "headline" not in skip:
