@@ -41,6 +41,10 @@ def build_parser():
                    choices=["auto", "on", "off"],
                    help="environment NEE with MIS: auto = on when the "
                         "env dome is the scene's only light")
+    p.add_argument("--sampler", default="pcg", choices=["pcg", "sobol"],
+                   help="sample streams: pcg hash randoms (+blue noise,"
+                        " the reference scheme) or padded Owen-scrambled"
+                        " Sobol (lower variance at low spp)")
     p.add_argument("--ris", action="store_true",
                    help="enable reservoir (RIS) light sampling")
     p.add_argument("--transparent-shadows", action="store_true",
@@ -129,6 +133,7 @@ def main(argv=None):
         enable_next_event_estimation=not args.no_nee,
         enable_sampling_importance_resampling=args.ris,
         environment_nee=args.env_nee,
+        sampler=args.sampler,
         transparent_shadows=args.transparent_shadows,
         **({"max_bounces": args.max_bounces} if args.max_bounces else {}),
     )

@@ -84,18 +84,23 @@ def u32_to_unit_float(u: jnp.ndarray) -> jnp.ndarray:
     return (u >> 8).astype(jnp.float32) * np.float32(1.0 / 16777216.0)
 
 
-def uniform(lane_id, sample_index, bounce, stream, seed=0):
+def uniform(lane_id, sample_index, bounce, stream, seed=0, sampler="pcg"):
     """One uniform float in [0,1) per lane.
 
     lane_id: int32[N] (usually pixel index in the flat pool)
     sample_index / bounce / stream / seed: scalars or int32[N].
+    sampler: "pcg" (independent hash randoms) or "sobol" (per-stream
+    Owen-scrambled Sobol (0,2)-pairs padded across streams — far lower
+    variance at small per-pixel sample counts).
     """
-    return uniform2_soa(lane_id, sample_index, bounce, stream, seed)[0]
+    return uniform2_soa(lane_id, sample_index, bounce, stream, seed,
+                        sampler)[0]
 
 
-def uniform2(lane_id, sample_index, bounce, stream, seed=0):
+def uniform2(lane_id, sample_index, bounce, stream, seed=0, sampler="pcg"):
     """Two decorrelated uniforms per lane, shape (N, 2)."""
-    u, v = uniform2_soa(lane_id, sample_index, bounce, stream, seed)
+    u, v = uniform2_soa(lane_id, sample_index, bounce, stream, seed,
+                        sampler)
     return jnp.stack([u, v], axis=-1)
 
 
@@ -119,8 +124,11 @@ def _pcg3d_soa(x, y, z):
     return x, y, z
 
 
-def uniform2_soa(lane_id, sample_index, bounce, stream, seed=0):
+def uniform2_soa(lane_id, sample_index, bounce, stream, seed=0,
+                 sampler="pcg"):
     """Two decorrelated uniforms per lane as separate (N,) arrays."""
+    if sampler == "sobol":
+        return sobol2_soa(lane_id, sample_index, bounce, stream, seed)
     lane_id = _u32(lane_id)
     mixed = _u32(sample_index) * np.uint32(9781) + _u32(seed) * np.uint32(6271)
     key = jnp.broadcast_to(mixed, lane_id.shape).astype(jnp.uint32)
@@ -128,6 +136,95 @@ def uniform2_soa(lane_id, sample_index, bounce, stream, seed=0):
     sb = jnp.broadcast_to(sb, lane_id.shape).astype(jnp.uint32)
     hx, hy, _ = _pcg3d_soa(lane_id, key, sb)
     return u32_to_unit_float(hx), u32_to_unit_float(hy)
+
+
+# ----------------------------------------------------------------------------
+# Owen-scrambled Sobol (0,2)-sequences, padded across streams.
+#
+# The reference samples with blue-noise + Halton Cranley-Patterson
+# rotation (RayGenCommon.h:49-122); its bundled scenes all DECLARE
+# `Sampler "sobol"` (Scenes/*/scene.pbrt) which the reference ignores.
+# This is that sampler, built the modern way: every 2D decision stream
+# draws from the first two Sobol dimensions with
+#   - a per-(pixel, bounce, stream) Owen shuffle of the sample index
+#     (decorrelates the pad across streams and pixels), and
+#   - per-dimension hash-based Owen scrambling of the output bits,
+# following Burley, "Practical Hash-based Owen Scrambling", JCGT 2020
+# (the construction pbrt-v4 uses). At 8 spp each stream sees a
+# perfectly stratified scrambled (0,2) prefix instead of 8 independent
+# randoms — the variance lever for the low-spp denoised fidelity gate.
+
+
+def _reverse_bits_u32(b):
+    b = ((b & np.uint32(0x55555555)) << 1) | ((b & np.uint32(0xAAAAAAAA)) >> 1)
+    b = ((b & np.uint32(0x33333333)) << 2) | ((b & np.uint32(0xCCCCCCCC)) >> 2)
+    b = ((b & np.uint32(0x0F0F0F0F)) << 4) | ((b & np.uint32(0xF0F0F0F0)) >> 4)
+    b = ((b & np.uint32(0x00FF00FF)) << 8) | ((b & np.uint32(0xFF00FF00)) >> 8)
+    return (b << 16) | (b >> 16)
+
+
+def _laine_karras(x, lk_seed):
+    """Laine-Karras hash permutation: a random-ish Owen tree on the
+    LOW-bits-first representation (bit k only influenced by bits < k)."""
+    x = x + lk_seed
+    x = x ^ (x * np.uint32(0x6C50B47C))
+    x = x ^ (x * np.uint32(0xB82F1E52))
+    x = x ^ (x * np.uint32(0xC7AFE638))
+    x = x ^ (x * np.uint32(0x8D22F6E6))
+    return x
+
+
+def _owen_scramble(x, owen_seed):
+    """Nested uniform (Owen) scramble of a u32 whose fraction MSB is bit
+    31: reverse so the tree root sits at bit 0, permute, reverse back."""
+    return _reverse_bits_u32(
+        _laine_karras(_reverse_bits_u32(x), owen_seed))
+
+
+def _sobol_dim1_columns():
+    """Direction numbers (u32 columns) for Sobol dimension 1: primitive
+    polynomial x^2 + x + 1 (Joe-Kuo: s=2, a=1, m=[1,3])."""
+    m = [1, 3]
+    for k in range(2, 32):
+        m.append((2 * m[-1]) ^ (4 * m[-2]) ^ m[-2])
+    return np.array([mk << (31 - k) for k, mk in enumerate(m)],
+                    dtype=np.uint32)
+
+
+_SOBOL_DIM1 = _sobol_dim1_columns()
+
+
+def _sobol2_point(index):
+    """The (dim0, dim1) Sobol point for u32 `index`, as u32 fractions."""
+    x = _reverse_bits_u32(index)           # dim 0: van der Corput
+    y = jnp.zeros_like(index)
+    for k in range(32):                    # dim 1: XOR matrix product
+        bit = (index >> np.uint32(k)) & np.uint32(1)
+        y = y ^ (bit * _SOBOL_DIM1[k])
+    return x, y
+
+
+def sobol2_soa(lane_id, sample_index, bounce, stream, seed=0):
+    """Owen-scrambled Sobol (0,2) pair per lane as separate (N,) arrays.
+
+    Same signature/contract as uniform2_soa: deterministic in
+    (lane, sample, bounce, stream, seed), so compaction may permute
+    lanes and merged waves may pass per-lane sample indices.
+    """
+    lane_id = _u32(lane_id)
+    sb = _u32(bounce) * np.uint32(NUM_STREAMS) + _u32(stream)
+    sb = jnp.broadcast_to(sb, lane_id.shape).astype(jnp.uint32)
+    sd = jnp.broadcast_to(_u32(seed), lane_id.shape).astype(jnp.uint32)
+    # Three independent per-(lane, bounce, stream, seed) seeds: the
+    # index shuffle and one Owen tree per output dimension.
+    s_shuf, s_x, s_y = _pcg3d_soa(lane_id, sb, sd)
+    idx = jnp.broadcast_to(_u32(sample_index), lane_id.shape)
+    idx = idx.astype(jnp.uint32)
+    shuffled = _owen_scramble(idx, s_shuf)
+    x, y = _sobol2_point(shuffled)
+    x = _owen_scramble(x, s_x)
+    y = _owen_scramble(y, s_y)
+    return u32_to_unit_float(x), u32_to_unit_float(y)
 
 
 # ----------------------------------------------------------------------------

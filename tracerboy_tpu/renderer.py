@@ -244,6 +244,7 @@ class Renderer:
             filter_type=int(s.camera_settings.filter_type),
             filter_width=s.camera_settings.filter_width,
             use_blue_noise=perf.use_blue_noise,
+            sampler=perf.sampler,
             compact_dead_rays=perf.enable_ray_compaction,
             decouple_albedo=(s.render_mode == RenderMode.REAL_TIME),
             has_env=self.compiled.has_env,

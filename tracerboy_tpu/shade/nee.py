@@ -50,6 +50,7 @@ def sample_one_light_soa(
     bounce,
     use_ris: bool = False,
     seed=0,
+    sampler="pcg",
 ):
     """SoA light sampling: V3 fields, dense (N,) layouts, transposed
     one-hot table lookups. Semantics identical to sample_one_light."""
@@ -108,10 +109,10 @@ def sample_one_light_soa(
 
     if not use_ris:
         r = tbrng.uniform(lane_id, sample_index, bounce,
-                          tbrng.STREAM_LIGHT_SELECT, seed)
+                          tbrng.STREAM_LIGHT_SELECT, seed, sampler)
         idx = jnp.minimum((r * num_lights).astype(jnp.int32), num_lights - 1)
         b0, b1 = tbrng.uniform2_soa(lane_id, sample_index, bounce,
-                                    tbrng.STREAM_AREA_LIGHT, seed)
+                                    tbrng.STREAM_AREA_LIGHT, seed, sampler)
         bu, bv, bw = bary(b0, b1)
         row = rows_of(idx)
         ltype = jnp.round(row[22]).astype(jnp.int32)
@@ -126,10 +127,10 @@ def sample_one_light_soa(
     wsum = zero
     for c in range(RIS_CANDIDATES):
         r = tbrng.uniform(lane_id, sample_index, bounce,
-                          tbrng.STREAM_RIS + 2 * c, seed)
+                          tbrng.STREAM_RIS + 2 * c, seed, sampler)
         idx = jnp.minimum((r * num_lights).astype(jnp.int32), num_lights - 1)
         b0, b1 = tbrng.uniform2_soa(lane_id, sample_index, bounce,
-                                    tbrng.STREAM_RIS + 2 * c + 1, seed)
+                                    tbrng.STREAM_RIS + 2 * c + 1, seed, sampler)
         bu, bv, bw = bary(b0, b1)
         row = rows_of(idx)
         lp, _ = point_of(row, bu, bv, bw)
@@ -143,7 +144,7 @@ def sample_one_light_soa(
 
     # Streaming reservoir selection (equivalent to the categorical draw).
     u = tbrng.uniform(lane_id, sample_index, bounce,
-                      tbrng.STREAM_RIS + 2 * RIS_CANDIDATES, seed)
+                      tbrng.STREAM_RIS + 2 * RIS_CANDIDATES, seed, sampler)
     thresh = u * wsum
     run = zero
     sel_idx = jnp.zeros((N,), jnp.int32)
@@ -225,6 +226,7 @@ def sample_one_light(
     bounce,
     use_ris: bool = False,
     seed=0,
+    sampler="pcg",
 ):
     """Reference (array-of-structs) light sampler; the hot path uses
     sample_one_light_soa. Kept as the readable cross-check used by tests.
@@ -266,10 +268,10 @@ def sample_one_light(
 
     if not use_ris:
         r = tbrng.uniform(lane_id, sample_index, bounce,
-                          tbrng.STREAM_LIGHT_SELECT, seed)
+                          tbrng.STREAM_LIGHT_SELECT, seed, sampler)
         idx = jnp.minimum((r * num_lights).astype(jnp.int32), num_lights - 1)
         b = tbrng.uniform2(lane_id, sample_index, bounce,
-                           tbrng.STREAM_AREA_LIGHT, seed)
+                           tbrng.STREAM_AREA_LIGHT, seed, sampler)
         bary = _random_barycentric(b[..., 0], b[..., 1])
         rows = _light_rows(lights, idx)
         pdf = 1.0 / num_lights
@@ -286,10 +288,10 @@ def sample_one_light(
     cand_tpdf = []
     for c in range(RIS_CANDIDATES):
         r = tbrng.uniform(lane_id, sample_index, bounce,
-                          tbrng.STREAM_RIS + 2 * c, seed)
+                          tbrng.STREAM_RIS + 2 * c, seed, sampler)
         idx = jnp.minimum((r * num_lights).astype(jnp.int32), num_lights - 1)
         b = tbrng.uniform2(lane_id, sample_index, bounce,
-                           tbrng.STREAM_RIS + 2 * c + 1, seed)
+                           tbrng.STREAM_RIS + 2 * c + 1, seed, sampler)
         bary = _random_barycentric(b[..., 0], b[..., 1])
         rows_c = _light_rows(lights, idx)
         lp, _ = _light_point(rows_c, bary)
@@ -312,7 +314,7 @@ def sample_one_light(
     wsum = jnp.sum(W, axis=1)
     cdf = jnp.cumsum(W, axis=1)
     u = tbrng.uniform(lane_id, sample_index, bounce,
-                      tbrng.STREAM_RIS + 2 * RIS_CANDIDATES, seed)
+                      tbrng.STREAM_RIS + 2 * RIS_CANDIDATES, seed, sampler)
     pick = jnp.sum((cdf < (u * wsum)[:, None]).astype(jnp.int32), axis=1)
     pick = jnp.minimum(pick, RIS_CANDIDATES - 1)
     rowsN = jnp.arange(N)

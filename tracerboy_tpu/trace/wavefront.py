@@ -575,6 +575,13 @@ class WaveConfig:
     filter_type: int = 0
     filter_width: float = 1.0
     use_blue_noise: bool = True
+    # "pcg" = independent counter-based randoms (+ blue-noise/Halton CP
+    # for the primary streams, the reference's scheme). "sobol" =
+    # padded Owen-scrambled Sobol (0,2) pairs on EVERY decision stream
+    # (core/rng.py sobol2_soa) — the sampler the bundled scenes declare
+    # (`Sampler "sobol"`, Scenes/*/scene.pbrt:1-6) and the low-spp
+    # variance lever; overrides blue noise when set.
+    sampler: str = "pcg"
     decouple_albedo: bool = False   # RealTime mode: first-hit albedo out
     has_env: bool = True
     # Environment NEE with balance-heuristic MIS. The reference reaches
@@ -761,10 +768,18 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
     vzero3 = V3(zero, zero, zero)
 
     # --- sample streams --------------------------------------------------
+    # Every decision draws through these two, so cfg.sampler swaps the
+    # whole integrator between independent PCG randoms and padded
+    # Owen-scrambled Sobol (core/rng.py) in one place.
     def hash2(bounce, stream):
-        return tbrng.uniform2_soa(lane, sample_index, bounce, stream, seed)
+        return tbrng.uniform2_soa(lane, sample_index, bounce, stream,
+                                  seed, cfg.sampler)
 
-    if cfg.use_blue_noise:
+    def hash1(bounce, stream):
+        return tbrng.uniform(lane, sample_index, bounce, stream, seed,
+                             cfg.sampler)
+
+    if cfg.use_blue_noise and cfg.sampler != "sobol":
         # Static per-pixel blue-noise values: pre-gathered once by the
         # caller (make_blue_noise_params) — only the Cranley-Patterson
         # rotation depends on the sample index.
@@ -928,8 +943,7 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         # --- russian roulette (kernel.glsl:1288-1301) -------------------
         if cfg.use_russian_roulette:
             p = jnp.clip(v3.max_c(s["throughput"]), EPSILON, 1.0)
-            r = tbrng.uniform(lane, sample_index, i,
-                              tbrng.STREAM_RUSSIAN_ROULETTE, seed)
+            r = hash1(i, tbrng.STREAM_RUSSIAN_ROULETTE)
             do_rr = alive & (i >= MIN_BOUNCES_BEFORE_RR)
             killed = do_rr & (r >= p)
             alive = alive & ~killed
@@ -961,10 +975,8 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
             def vrng2(k):
                 ub = (i << 7) + k  # cap 128 walk iters per bounce
                 return (
-                    tbrng.uniform(lane, sample_index, ub,
-                                  tbrng.STREAM_VOLUME, seed),
-                    tbrng.uniform(lane, sample_index, ub,
-                                  tbrng.STREAM_VOLUME + 1, seed),
+                    hash1(ub, tbrng.STREAM_VOLUME),
+                    hash1(ub, tbrng.STREAM_VOLUME + 1),
                 )
 
             t_seg = jnp.where(tri >= 0, t, jnp.float32(BIG))
@@ -1063,7 +1075,7 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         mean_scat = v3.mean_c(s["med_scattering"])
         no_scatter = mean_scat < EPSILON
         dist_per_scatter = 1.0 / jnp.maximum(mean_scat, 1e-12)
-        r_fly = tbrng.uniform(lane, sample_index, i, tbrng.STREAM_SSS, seed)
+        r_fly = hash1(i, tbrng.STREAM_SSS)
         travel = jnp.maximum(
             -jnp.log(jnp.maximum(r_fly, 1e-12)), 0.1
         ) * dist_per_scatter
@@ -1119,8 +1131,7 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         is_sss = (flags & SUBSURFACE_SCATTER_FLAG) != 0
         single_sided = (flags & SINGLE_SIDED_FLAG) != 0
 
-        r_spec = tbrng.uniform(lane, sample_index, i,
-                               tbrng.STREAM_SPECULAR_SELECT, seed)
+        r_spec = hash1(i, tbrng.STREAM_SPECULAR_SELECT)
         if cfg.spec_importance:
             # Lobe probability ∝ each lobe's expected energy at THIS
             # incidence. The reference's disabled A/B (kernel.glsl:1410)
@@ -1215,6 +1226,7 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
             ls = sample_one_light_soa(
                 scene["lights"], cfg.num_lights, nee_org, lane,
                 sample_index, i, use_ris=cfg.enable_ris, seed=seed,
+                sampler=cfg.sampler,
             )
             facing = v3.dot(ls["direction"], ls["normal"]) < 0.0
             do_nee = (
@@ -1279,10 +1291,7 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
                 )
                 # Attenuate every shadow segment through the volume
                 # (ratio marching, jittered).
-                sh_jit = tbrng.uniform(
-                    lane, sample_index, i, tbrng.STREAM_VOLUME_SHADOW,
-                    seed,
-                )
+                sh_jit = hash1(i, tbrng.STREAM_VOLUME_SHADOW)
                 t_vol = transmittance(
                     scene, sh_org, ls["direction"], sh_tmax, do_nee,
                     sh_jit, cfg.volume_shadow_steps,
@@ -1523,10 +1532,7 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
                 # same ratio-marched transmittance regular NEE applies.
                 from tracerboy_tpu.shade.volumetric import transmittance
 
-                e_jit = tbrng.uniform(
-                    lane, sample_index, i, tbrng.STREAM_ENV_NEE_SHADOW,
-                    seed,
-                )
+                e_jit = hash1(i, tbrng.STREAM_ENV_NEE_SHADOW)
                 e_tvol = transmittance(
                     scene, e_org, env_dir, e_tmax, do_env, e_jit,
                     cfg.volume_shadow_steps,

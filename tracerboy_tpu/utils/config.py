@@ -135,6 +135,12 @@ class PerformanceSettings:
     # 0), where escape-only sampling is the dominant variance; "on" /
     # "off" force it. Unbiased either way (balance-heuristic MIS).
     environment_nee: str = "auto"
+    # Sample-stream generator: "pcg" (independent hash randoms +
+    # blue-noise/Halton CP on the primary streams — the reference's
+    # scheme, RayGenCommon.h:49-122) or "sobol" (padded Owen-scrambled
+    # Sobol (0,2) pairs on every stream — the sampler the bundled
+    # scenes declare and the low-spp variance winner).
+    sampler: str = "pcg"
     # Transmissive shadow rays: glass attenuates NEE shadow feelers with
     # a per-interface Fresnel factor instead of hard-occluding — the
     # reference's parked SHADOW_BOUNCES design (kernel.glsl:1447-1512,
