@@ -851,33 +851,18 @@ class Renderer:
             return y / (1.0 - y)
         return np.clip(den, 0.0, 1.0) ** 2.2
 
-    def render_denoised(self, spp: int = 8, model: str = "rt_ldr",
-                        transfer: str = "reinhard", demod: bool = True,
-                        dc_filter_iters: int = 2,
-                        filter_albedo: bool = False,
-                        clamp: float | None = None) -> np.ndarray:
-        """Demodulated low-spp denoise: the reference's RealTime design
-        (CompositeAlbedoCS.hlsl:17-26, TracerBoy.cpp:3062-3160) as one
-        batch call — trace spp DECOUPLED samples, OIDN the demodulated
-        illumination (texture detail never reaches the network, so its
-        distortion floor collapses), then re-composite albedo.
-
-        The noisy per-pixel dc ratio would multiply denoised signal by
-        noise at composite time, so it is edge-aware-filtered first
-        (dc_filter_iters a-trous steps, normal+position guided).
-        clamp: optional firefly clamp applied at trace time — the
-        reference treats clamping as a DENOISER setting
-        (TracerBoy.h:343 m_fireflyClampValue in denoiserSettings).
-        Returns linear radiance (H, W, 3); does not touch self.state."""
+    def trace_decoupled(self, spp: int = 8,
+                        clamp: float | None = None) -> dict:
+        """Trace spp DECOUPLED samples (albedo demodulation planes + aux
+        AOVs) without touching self.state; returns the accumulator dict
+        consumed by denoise_decoupled. Split out so one trace can feed
+        several denoiser variants (bench.py's rmse8 sweep re-traced per
+        variant before round 5)."""
         import dataclasses
 
-        from tracerboy_tpu.ml.oidn import denoise_image, load_oidn
-        from tracerboy_tpu.post.denoise import denoise as atrous
-        from tracerboy_tpu.post.realtime import composite_albedo
         from tracerboy_tpu.trace.wavefront import render_wave_merged
 
-        h, w = self.height, self.width
-        N = w * h
+        N = self.width * self.height
         saved = self.settings
         try:
             if clamp:
@@ -905,6 +890,38 @@ class Renderer:
                 done += kk
         finally:
             self.settings = saved
+        acc["spp"] = spp
+        return acc
+
+    def render_denoised(self, spp: int = 8, model: str = "rt_ldr",
+                        transfer: str = "reinhard", demod: bool = True,
+                        dc_filter_iters: int = 2,
+                        filter_albedo: bool = False,
+                        clamp: float | None = None,
+                        _acc: dict | None = None) -> np.ndarray:
+        """Demodulated low-spp denoise: the reference's RealTime design
+        (CompositeAlbedoCS.hlsl:17-26, TracerBoy.cpp:3062-3160) as one
+        batch call — trace spp DECOUPLED samples, OIDN the demodulated
+        illumination (texture detail never reaches the network, so its
+        distortion floor collapses), then re-composite albedo.
+
+        The noisy per-pixel dc ratio would multiply denoised signal by
+        noise at composite time, so it is edge-aware-filtered first
+        (dc_filter_iters a-trous steps, normal+position guided).
+        clamp: optional firefly clamp applied at trace time — the
+        reference treats clamping as a DENOISER setting
+        (TracerBoy.h:343 m_fireflyClampValue in denoiserSettings).
+        _acc: a precomputed trace_decoupled() result to denoise instead
+        of tracing fresh (one trace, many denoiser variants).
+        Returns linear radiance (H, W, 3); does not touch self.state."""
+        from tracerboy_tpu.ml.oidn import denoise_image, load_oidn
+        from tracerboy_tpu.post.denoise import denoise as atrous
+        from tracerboy_tpu.post.realtime import composite_albedo
+
+        h, w = self.height, self.width
+        acc = _acc if _acc is not None else self.trace_decoupled(
+            spp, clamp=clamp)
+        spp = acc.get("spp", spp)
         fw = jnp.maximum(acc["fw"], 1e-8)[:, None]
         illum = (acc["radiance"] / fw).reshape(h, w, 3)
         dc = _demod_ratio(acc["radiance_d"] / fw,
