@@ -1080,14 +1080,17 @@ class Renderer:
         cross(e1, e2) (the reference's flat-normal generation,
         TracerBoy.cpp:1710-1729).
 
-        Supported for the brute and pallas traversal backends;
-        TLAS-instanced scenes and the lock-step jnp oracle keep their
-        host build (per-object rebuilds are not wired). The host-side
+        Supported for the brute and pallas traversal backends; the
+        lock-step jnp oracle keeps its host build. TLAS-instanced
+        scenes animate through update_instance_transforms (TLAS refit)
+        and update_object_geometry (per-object BLAS rebuild) instead —
+        this method's flat tables don't exist there. The host-side
         CompiledScene keeps the load-time geometry (checkpoint/scene
         cache reflect the original scene)."""
         if self.compiled.has_instances:
             raise NotImplementedError(
-                "update_geometry: TLAS-instanced scenes not supported"
+                "update_geometry: use update_instance_transforms / "
+                "update_object_geometry on TLAS-instanced scenes"
             )
         if self.traversal == "jnp":
             raise NotImplementedError(
@@ -1181,6 +1184,177 @@ class Renderer:
                 pk_sh_attr_rows=attr_rows[sh_order],
             )
         self.invalidate_history()
+
+    # -- animated instanced geometry (TLAS refit + per-object BLAS) ------
+    def _refresh_instance_tables(self):
+        """Push the host inst tables into the pytree and refresh the
+        combined world bounds (same leaf shapes -> the jitted program is
+        reused)."""
+        it = self.compiled.inst_tables
+        sp = self.scene_pytree
+        for k in ("inst_obj", "inst_inv", "inst_lo", "inst_hi"):
+            sp[k] = jnp.asarray(it[k])
+        lo = np.asarray(it["inst_lo"]).min(axis=0)
+        hi = np.asarray(it["inst_hi"]).max(axis=0)
+        if getattr(self, "_flat_bounds", None) is None:
+            c = self.compiled
+            self._flat_bounds = (
+                np.minimum(np.minimum(c.tri_v0, c.tri_v1),
+                           c.tri_v2).min(axis=0),
+                np.maximum(np.maximum(c.tri_v0, c.tri_v1),
+                           c.tri_v2).max(axis=0),
+            )
+        flo, fhi = self._flat_bounds
+        sp["world_lo"] = jnp.asarray(
+            np.minimum(flo, lo).astype(np.float32))
+        sp["world_hi"] = jnp.asarray(
+            np.maximum(fhi, hi).astype(np.float32))
+        self.invalidate_history()
+
+    def update_instance_transforms(self, transforms):
+        """Animate the TLAS: replace every instance's world<-object
+        transform and refit the instance AABBs — the analog of the
+        reference's per-frame top-level rebuild over moving instances
+        (TracerBoy.cpp:1963-2026 UpdateTopLevelAccelerationStructure
+        flow). BLASes are untouched; table shapes are fixed, so the
+        compiled wave program is reused.
+
+        transforms: (I, 4, 4) world<-object matrices in instance order.
+        """
+        if not self.compiled.has_instances:
+            raise ValueError("scene has no TLAS instances")
+        it = self.compiled.inst_tables
+        M = np.asarray(transforms, np.float64)
+        I = it["inst_obj"].shape[0]
+        if M.shape != (I, 4, 4):
+            raise ValueError(
+                f"expected ({I}, 4, 4) transforms, got {M.shape}")
+        objs = self.compiled.inst_objects
+        inv_rows = np.empty((I, 12), np.float32)
+        lo_rows = np.empty((I, 3), np.float32)
+        hi_rows = np.empty((I, 3), np.float32)
+        for i in range(I):
+            inv = np.linalg.inv(M[i])
+            inv_rows[i] = inv[:3, :4].reshape(12).astype(np.float32)
+            o = objs[int(it["inst_obj"][i])]
+            lo, hi = o["lo"], o["hi"]
+            corners = np.array([
+                [x, y, z] for x in (lo[0], hi[0])
+                for y in (lo[1], hi[1]) for z in (lo[2], hi[2])
+            ])
+            wc = corners @ M[i, :3, :3].T + M[i, :3, 3]
+            lo_rows[i] = wc.min(0)
+            hi_rows[i] = wc.max(0)
+        it["inst_inv"] = inv_rows
+        it["inst_lo"] = lo_rows
+        it["inst_hi"] = hi_rows
+        self._refresh_instance_tables()
+
+    def update_object_geometry(self, obj_index: int, v0, v1, v2):
+        """Deform ONE instanced object and rebuild its BLAS on device —
+        the reference's per-object bottom-level rebuild for animated
+        geometry (TracerBoy.cpp:1963-2026), expressed as
+        accel/bvh_device jnp ops. Topology, UVs and material assignment
+        are fixed; flat normals + tangents are re-derived like
+        update_geometry. Instances referencing the object get their
+        TLAS AABBs refit from the new object-space bounds.
+        """
+        if not self.compiled.has_instances:
+            raise ValueError("scene has no TLAS instances")
+        from tracerboy_tpu.accel.bvh_device import (
+            build_bvh_device,
+            pack_for_pallas_device,
+        )
+
+        obj = self.compiled.inst_objects[obj_index]
+        topo = obj["attrs_topo"]
+        T = topo.shape[0]
+        v0 = jnp.asarray(v0, jnp.float32)
+        v1 = jnp.asarray(v1, jnp.float32)
+        v2 = jnp.asarray(v2, jnp.float32)
+        if v0.shape != (T, 3):
+            raise ValueError(
+                f"update_object_geometry keeps topology: expected "
+                f"({T}, 3), got {v0.shape}"
+            )
+        built = build_bvh_device(v0, v1, v2)
+        pk = pack_for_pallas_device(built, v0, v1, v2)
+        sp = self.scene_pytree
+        entry = sp["inst_objs"][obj_index]
+        # The device pack's node/cluster layout differs from the
+        # compile-time host pack, so the FIRST rebuild changes leaf
+        # shapes and recompiles the wave program once; subsequent
+        # rebuilds (same topology -> same device layout) reuse it —
+        # matching the reference's animation loop, which also pays a
+        # one-time PSO/AS-layout transition (TracerBoy.cpp:1963-2026).
+        for k in ("nodes", "tris_bw"):
+            entry["packed"][k] = pk[k]
+        # Packed-order attribute rows under the NEW tri_map: flat
+        # normals + UV tangents recomputed, UV/material carried from
+        # the compile-time topology-order rows.
+        e1 = v1 - v0
+        e2 = v2 - v0
+        n = jnp.cross(e1, e2)
+        n = n / jnp.maximum(
+            jnp.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+        uv0 = jnp.asarray(topo[:, 9:11])
+        uv1 = jnp.asarray(topo[:, 11:13])
+        uv2 = jnp.asarray(topo[:, 13:15])
+        mat = jnp.asarray(topo[:, 15:16])
+        d1 = uv1 - uv0
+        d2 = uv2 - uv0
+        det = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+        bad = jnp.abs(det) < 1e-12
+        tan = e1 * d2[:, 1:2] - e2 * d1[:, 1:2]
+        tan = jnp.where(
+            bad[:, None], e1, tan / jnp.where(bad, 1.0, det)[:, None])
+        tan = tan / jnp.maximum(
+            jnp.linalg.norm(tan, axis=1, keepdims=True), 1e-12)
+        new_topo = jnp.concatenate(
+            [n, n, n, uv0, uv1, uv2, mat, tan], axis=1)
+        order = jnp.clip(pk["tri_map"], 0, T - 1)
+        new_attrs = new_topo[order]
+        P = int(obj["attrs"].shape[0])
+        if new_attrs.shape[0] > P:
+            raise ValueError(
+                "device pack emitted more triangle rows than the "
+                "compile-time layout reserved")
+        if new_attrs.shape[0] < P:
+            # The compile-time host pack pads its packed order beyond T;
+            # device tri ids stay < T, so the tail rows are never
+            # fetched — pad with the last row to keep base offsets of
+            # later objects intact.
+            pad = jnp.broadcast_to(
+                new_attrs[-1:], (P - new_attrs.shape[0], 19))
+            new_attrs = jnp.concatenate([new_attrs, pad])
+        base = int(entry["base"])
+        sp["pk_attr_rows"] = (
+            sp["pk_attr_rows"].at[base:base + P].set(new_attrs))
+        # TLAS refit for every instance of this object (host-side: the
+        # tables are tiny and the transforms live on the host anyway).
+        v0h, v1h, v2h = (np.asarray(v0), np.asarray(v1), np.asarray(v2))
+        obj["lo"] = np.minimum(np.minimum(v0h, v1h), v2h).min(axis=0)
+        obj["hi"] = np.maximum(np.maximum(v0h, v1h), v2h).max(axis=0)
+        obj["verts"] = np.stack([v0h, v1h, v2h], axis=1)
+        it = self.compiled.inst_tables
+        inst_obj = np.asarray(it["inst_obj"])
+        lo_t = np.asarray(it["inst_lo"]).copy()
+        hi_t = np.asarray(it["inst_hi"]).copy()
+        corners_o = np.array([
+            [x, y, z] for x in (obj["lo"][0], obj["hi"][0])
+            for y in (obj["lo"][1], obj["hi"][1])
+            for z in (obj["lo"][2], obj["hi"][2])
+        ])
+        for i in np.where(inst_obj == obj_index)[0]:
+            inv = np.asarray(it["inst_inv"][i], np.float64)
+            A = np.vstack([inv.reshape(3, 4), [0.0, 0.0, 0.0, 1.0]])
+            M = np.linalg.inv(A)        # world <- object
+            wc = corners_o @ M[:3, :3].T + M[:3, 3]
+            lo_t[i] = wc.min(0)
+            hi_t[i] = wc.max(0)
+        it["inst_lo"] = lo_t
+        it["inst_hi"] = hi_t
+        self._refresh_instance_tables()
 
     def set_material(self, material_id: int, **fields):
         """Live material editing: O(1) in scene size.

@@ -99,7 +99,9 @@ class CompiledScene:
     # objects are NOT flattened — device memory scales with unique
     # geometry (TracerBoy.cpp:1305-1410 two-level build).
     inst_tables: dict = None         # inst_obj/inst_inv/inst_lo/inst_hi
-    inst_objects: list = None        # [(packed dict, attr_rows np)] per obj
+    inst_objects: list = None        # per-object dicts: packed tables,
+                                     # packed/topology attr rows, verts,
+                                     # object-space AABB (rebuild support)
     inst_world_lo: np.ndarray = None
     inst_world_hi: np.ndarray = None
 
@@ -170,7 +172,7 @@ class CompiledScene:
             # fetches (trace/instanced.py returns offset ids).
             flat_rows = int(extra["pk_attr_rows"].shape[0])
             inst_attrs = np.concatenate(
-                [a for _, a in self.inst_objects]
+                [o["attrs"] for o in self.inst_objects]
             )
             extra["pk_attr_rows"] = jnp.concatenate(
                 [extra["pk_attr_rows"], jnp.asarray(inst_attrs)]
@@ -180,15 +182,15 @@ class CompiledScene:
             )
             objs = []
             base = flat_rows
-            for packed_np, attrs in self.inst_objects:
+            for o in self.inst_objects:
                 objs.append(dict(
                     packed=dict(
-                        nodes=jnp.asarray(packed_np["nodes"]),
-                        tris_bw=jnp.asarray(packed_np["tris_bw"]),
+                        nodes=jnp.asarray(o["packed"]["nodes"]),
+                        tris_bw=jnp.asarray(o["packed"]["tris_bw"]),
                     ),
                     base=jnp.int32(base),
                 ))
-                base += attrs.shape[0]
+                base += o["attrs"].shape[0]
             extra["inst_objs"] = objs
 
         env_flat = self.env_map.reshape(-1, 3).astype(np.float32)
@@ -603,11 +605,20 @@ def compile_scene(
                 np.clip(order, 0, len(tp) - 1)
             ]
             obj_index[n] = len(inst_objects)
-            inst_objects.append((
-                dict(nodes=np.asarray(pk["nodes"]),
-                     tris_bw=np.asarray(pk["tris_bw"])),
-                attrs,
-                (tp.reshape(-1, 3).min(0), tp.reshape(-1, 3).max(0)),
+            inst_objects.append(dict(
+                packed=dict(nodes=np.asarray(pk["nodes"]),
+                            tris_bw=np.asarray(pk["tris_bw"])),
+                attrs=attrs,
+                # Rebuild support (Renderer.update_object_geometry —
+                # the reference's per-object BLAS rebuild,
+                # TracerBoy.cpp:1963-2026): topology-order attrs +
+                # vertices so a deformation can re-derive packed-order
+                # rows under a NEW tri_map, and the object-space AABB
+                # for TLAS refits.
+                attrs_topo=_attr_rows_np(tp, tn, tu, tm),
+                verts=tp,
+                lo=tp.reshape(-1, 3).min(0),
+                hi=tp.reshape(-1, 3).max(0),
             ))
         inst_obj, inst_inv, inst_lo, inst_hi = [], [], [], []
         for inst in scene.instances:
@@ -618,7 +629,7 @@ def compile_scene(
             inv = np.linalg.inv(M)
             inst_obj.append(oi)
             inst_inv.append(inv[:3, :4].reshape(12).astype(np.float32))
-            lo, hi = inst_objects[oi][2]
+            lo, hi = inst_objects[oi]["lo"], inst_objects[oi]["hi"]
             corners = np.array([
                 [x, y, z] for x in (lo[0], hi[0])
                 for y in (lo[1], hi[1]) for z in (lo[2], hi[2])
@@ -633,7 +644,6 @@ def compile_scene(
                 inst_lo=np.stack(inst_lo),
                 inst_hi=np.stack(inst_hi),
             )
-            inst_objects = [(pk, at) for pk, at, _ in inst_objects]
             inst_world_lo = np.stack(inst_lo).min(0)
             inst_world_hi = np.stack(inst_hi).max(0)
         else:
