@@ -57,6 +57,7 @@ SCENES = {
 _T0 = time.time()
 _DEADLINE = _T0 + float(os.environ.get("TB_BENCH_BUDGET", "840"))
 _RESULTS: dict = {}
+_K1_QUEUE: list = []
 _HEADLINE = {"value": 0.0}
 _EMITTED = False
 
@@ -132,11 +133,14 @@ def guard(label, min_needed, fn, *a, **kw):
         )
         _flush_partial()
         return None
+    t0 = time.time()
     try:
         out = fn(*a, **kw)
     except Exception as e:
         _RESULTS[label] = f"error: {type(e).__name__}: {e}"
         out = None
+    _RESULTS.setdefault("bench/section_s", {})[label] = round(
+        time.time() - t0, 1)
     _flush_partial()
     return out
 
@@ -334,8 +338,25 @@ def bench_config_waves(results, n_runs=6):
     if vals:
         _HEADLINE["value"] = math.exp(
             sum(math.log(max(v, 1e-9)) for v in vals) / len(vals))
+    # k=1 waves are SECONDARY: stash the queue for bench_secondary_waves
+    # (run at the very end of main — round-4 lesson: their three extra
+    # cold XLA compiles ate the budget the rmse8 gate needed). Module
+    # global, NOT results: the queue holds jitted fns (not JSON).
+    _K1_QUEUE.extend(k1_queue)
+    return _HEADLINE["value"]
 
-    # Secondary: single-sample (k=1) waves.
+
+def bench_secondary_waves(results, n_runs=6):
+    """Deferred secondaries: k=1 waves + the synthetic-env config."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tracerboy_tpu.trace.wavefront import render_wave_merged
+
+    k1_queue = list(_K1_QUEUE)
+    _K1_QUEUE.clear()
     for name, bk, step, scene, params, pixel_ids in k1_queue:
         if remaining() < 120:
             break
@@ -380,7 +401,6 @@ def bench_config_waves(results, n_runs=6):
             )
     else:
         results["mrays/vw-van-synthenv"] = "skipped: budget"
-    return _HEADLINE["value"]
 
 
 def bench_realtime_fps(results, frames=60, warmup=20):
@@ -723,10 +743,10 @@ def main():
               results, "cornell", (512, 512),
               os.path.join(GOLDEN_DIR, "cornell_512.exr"))
     if "headline" not in skip:
-        guard("mrays/cornell-brute", 60, bench_headline, results,
+        guard("mrays/cornell-brute", 45, bench_headline, results,
               n_runs=args.runs)
     if "realtime" not in skip:
-        guard("fps/realtime-512", 60, bench_realtime_fps, results)
+        guard("fps/realtime-512", 45, bench_realtime_fps, results)
     if "tungsten" not in skip:
         # External anchors from an independent renderer; the committed
         # goldens/ EXRs are self-rendered and track regressions only —
@@ -779,6 +799,12 @@ def main():
             # golden is the 256-spp + OIDN proxy rather than a raw
             # converged render.
             results["psnr35/vw-van-1080p-golden"] = "proxy-256spp-oidn"
+
+    if "configs" not in skip:
+        # Deferred secondaries LAST (k=1 waves, synthetic-env config):
+        # three extra cold XLA compiles that must never starve the
+        # gates above.
+        guard("mrays/secondary", 120, bench_secondary_waves, results)
 
     _flush_partial()
     _emit()
