@@ -323,8 +323,10 @@ def bench_config_waves(results, n_runs=6):
             cfg = dataclasses.replace(r.wave_config(), max_bounces=6,
                                       want_aovs=False)
             mstep = jax.jit(partial(render_wave_merged, k=k, cfg=cfg))
-            mrays, _ = _throughput(mstep, scene, params, pixel_ids,
-                                   max(2, n_runs // 2))
+            # 1 warmup + 2 timed waves: a k-merged wave is 30-60 s of
+            # device time on these scenes, and min-of-2 is within noise
+            # of min-of-3 (measured r5) at 40 s less budget per scene.
+            mrays, _ = _throughput(mstep, scene, params, pixel_ids, 2)
             results[f"mrays/{name}-{r.traversal}-k{k}"] = round(mrays, 2)
             vals.append(mrays)
             k1_queue.append((name, r.traversal, step, scene, params,
@@ -733,15 +735,18 @@ def main():
     # Sections run most-valuable-first so a budget cut costs the least
     # important numbers. Estimates are warm-cache worst cases; a cold
     # .jax_cache makes sections skip conservatively rather than hang.
-    if "configs" not in skip:
-        guard("mrays/configs", 240, bench_config_waves, results)
+    # rmse8 runs FIRST: it is the red fidelity gate and the one number
+    # that has never landed in a driver run (r3 crash, r4 timeout, r5
+    # dry-run: cut at 840s behind a 570s configs section).
     if "rmse" not in skip:
-        guard("rmse8/vw-van", 120, bench_oidn_rmse,
+        guard("rmse8/vw-van", 240, bench_oidn_rmse,
               results, "vw-van", (512, 320),
               os.path.join(GOLDEN_DIR, "vwvan_512x320.exr"))
         guard("rmse8/cornell", 90, bench_oidn_rmse,
               results, "cornell", (512, 512),
               os.path.join(GOLDEN_DIR, "cornell_512.exr"))
+    if "configs" not in skip:
+        guard("mrays/configs", 240, bench_config_waves, results)
     if "headline" not in skip:
         guard("mrays/cornell-brute", 45, bench_headline, results,
               n_runs=args.runs)

@@ -36,6 +36,9 @@ STREAM_VOLUME_SHADOW = 56      # ratio-marching jitter for NEE
 STREAM_ENV_NEE = 58            # 2 dims: environment NEE direction
 STREAM_ENV_NEE_SHADOW = 60     # ratio-marching jitter for env NEE
 STREAM_ACCUM_JITTER = 64       # jittered-accumulator coin flip
+STREAM_ENV_NEE_X = 65          # 2*(M-1) dims: extra env-NEE directions
+                               # (WaveConfig.env_nee_samples > 1);
+                               # 65..79 bounds M at 8
 NUM_STREAMS = 80
 
 

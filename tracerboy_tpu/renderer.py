@@ -255,6 +255,8 @@ class Renderer:
                      or (self.compiled.num_lights == 0
                          and perf.enable_next_event_estimation))
             ),
+            env_nee_samples=max(1, min(
+                8, int(perf.environment_nee_samples))),
             has_mix=bool(
                 (np.asarray(self.compiled.materials["flags"]) & 0x8).any()
             ),

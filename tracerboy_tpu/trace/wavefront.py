@@ -595,6 +595,17 @@ class WaveConfig:
     # recorded at miss time is MIS-downweighted by p/(p+q) so the
     # estimator stays unbiased (goldens unchanged in expectation).
     env_nee: bool = False
+    # Env-NEE sample count M per diffuse-capable vertex. Interiors under
+    # env light see v(1-v)/M binary-visibility variance in their direct
+    # term (v = unoccluded cosine-hemisphere fraction — a few percent
+    # inside vw-van), and occlusion rays are the cheapest wave traced
+    # (any-hit, early out), so M > 1 buys direct-light variance at
+    # ~linear shadow-ray cost. All M directions trace in ONE
+    # concatenated any-hit wave; multi-sample balance heuristic
+    # (Veach 9.2.2: w_i = n_i p_i / sum n_k p_k) keeps the env + escape
+    # estimator pair unbiased for any M. Streams bound M to 8
+    # (core/rng.py STREAM_ENV_NEE_X).
+    env_nee_samples: int = 1
     # Compile-time scene facts: scenes without mix materials / textures
     # skip those fetch paths entirely.
     has_mix: bool = True
@@ -1440,127 +1451,186 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         # full-BSDF-weighted env radiance; both estimators are combined
         # with the balance heuristic so the sum stays unbiased.
         if cfg.has_env and cfg.env_nee:
-            r_e0, r_e1 = hash2(i, tbrng.STREAM_ENV_NEE)
-            env_dir, env_pdf = sample_cosine_hemisphere_soa(
-                detail_normal, r_e0, r_e1
-            )
-            do_env = (
-                shading & ~perfect_spec & ~is_light & ~surf_sss
-                & (env_pdf > EPSILON)
-            )
-            s["rays_traced"] = s["rays_traced"] + jnp.sum(
-                do_env.astype(jnp.float32)
+            # M cosine-hemisphere samples toward the dome
+            # (cfg.env_nee_samples). Multi-sample balance heuristic
+            # (Veach 9.2.2, n_env = M vs n_escape = 1): each env sample
+            # is weighted M*p_env/(M*p_env + p_bsdf) and averaged; the
+            # escape estimator below divides by (p + M*q). Furnace
+            # closure for diffuse/white-dome: sum_j w_j/M = M/(M+1),
+            # escape 1/(M+1).
+            M = max(1, int(cfg.env_nee_samples))
+            assert M <= 8, "env_nee_samples > 8 exceeds STREAM_ENV_NEE_X"
+            e_dirs, e_pdfs = [], []
+            for j in range(M):
+                stream = (tbrng.STREAM_ENV_NEE if j == 0
+                          else tbrng.STREAM_ENV_NEE_X + 2 * (j - 1))
+                r_e0, r_e1 = hash2(i, stream)
+                d_j, p_j = sample_cosine_hemisphere_soa(
+                    detail_normal, r_e0, r_e1
+                )
+                e_dirs.append(d_j)
+                e_pdfs.append(p_j)
+            env_base = shading & ~perfect_spec & ~is_light & ~surf_sss
+            do_envs = [env_base & (p_j > EPSILON) for p_j in e_pdfs]
+            do_env = do_envs[0]
+            for d_j in do_envs[1:]:
+                do_env = do_env | d_j
+            s["rays_traced"] = s["rays_traced"] + sum(
+                jnp.sum(d_j.astype(jnp.float32)) for d_j in do_envs
             )
             e_org = hit_point + normal * EPSILON
-            e_tmax = jnp.where(do_env, BIG, 0.0)
+            e_tmaxs = [jnp.where(d_j, BIG, 0.0) for d_j in do_envs]
+            # ONE concatenated any-hit wave for all M directions: the
+            # occlusion dispatch sorts/pads per call, so M separate
+            # waves would pay the packet prep M times.
+            if M == 1:
+                dir_cat, org_cat, tmax_cat = e_dirs[0], e_org, e_tmaxs[0]
+            else:
+                cat = jnp.concatenate
+                dir_cat = V3(cat([d.x for d in e_dirs]),
+                             cat([d.y for d in e_dirs]),
+                             cat([d.z for d in e_dirs]))
+                org_cat = V3(jnp.tile(e_org.x, M), jnp.tile(e_org.y, M),
+                             jnp.tile(e_org.z, M))
+                tmax_cat = cat(e_tmaxs)
+
+            def _split(a):
+                return [a[j * N_lanes:(j + 1) * N_lanes] for j in range(M)]
+
+            N_lanes = hit_point.x.shape[0]
             if cfg.transparent_shadows:
-                e_T = _shadow_transmittance(
-                    scene, e_org, env_dir, e_tmax, cfg
+                e_T_cat = _shadow_transmittance(
+                    scene, org_cat, dir_cat, tmax_cat, cfg
                 )
-                e_occ = e_T <= 1e-4
+                e_Ts = _split(e_T_cat) if M > 1 else [e_T_cat]
+                e_occs = [t_j <= 1e-4 for t_j in e_Ts]
             else:
-                e_T = None
-                e_occ = _occluded_dispatch(
-                    scene, e_org, env_dir, e_tmax, cfg)
-            # BSDF pdf of the env direction under the same mixed-lobe
-            # model as the throughput update below (balance heuristic
-            # denominator must mirror the escape estimator's pdf).
-            e_half = half_vector_safe_soa(-prev_dir, env_dir, detail_normal)
-            e_dpdf = jnp.maximum(
-                v3.dot(env_dir, detail_normal), 0.0) / jnp.pi
-            e_spdf = ggx_reflection_pdf_soa(
-                detail_normal, env_dir, e_half, mat["roughness"]
-            )
-            e_bsdf_pdf = jnp.where(
-                allows_spec,
-                jnp.where(is_metal, e_spdf,
-                          p_spec * e_spdf + (1.0 - p_spec) * e_dpdf),
-                e_dpdf,
-            )
-            w_env = env_pdf / jnp.maximum(env_pdf + e_bsdf_pdf, 1e-12)
-            # Full BSDF at env_dir (metal / plastic / lambert, the same
-            # model the throughput update applies to the sampled lobe).
-            e_spec_w = specular_weight_soa(
-                prev_dir, env_dir, normal, detail_normal, mat["roughness"]
-            )
-            e_cos = jnp.clip(v3.dot(env_dir, normal), 0.0, 1.0)
-            e_fres = refl_coef + (1.0 - refl_coef) * jnp.power(
-                jnp.abs(1.0 - v3.dot(-prev_dir, e_half)), 5.0
-            )
-            e_dm = (
-                (28.0 / (23.0 * jnp.pi))
-                * (1.0 - refl_coef)
-                * (1.0 - jnp.power(
-                    1.0 - 0.5 * v3.dot(-prev_dir, normal), 5.0))
-                * (1.0 - jnp.power(
-                    1.0 - 0.5 * v3.dot(env_dir, normal), 5.0))
-            )
-            e_mult = v3.where(
-                is_metal, albedo * (e_spec_w * e_cos),
-                v3.where(
+                e_Ts = None
+                occ_cat = _occluded_dispatch(
+                    scene, org_cat, dir_cat, tmax_cat, cfg)
+                e_occs = _split(occ_cat) if M > 1 else [occ_cat]
+
+            e_contrib_sum = V3(zero, zero, zero)
+            e_contrib_d_sum = V3(zero, zero, zero)
+            e_add_any = do_env & False
+            invM = 1.0 / M
+            for j in range(M):
+                env_dir, env_pdf = e_dirs[j], e_pdfs[j]
+                # BSDF pdf of the env direction under the same
+                # mixed-lobe model as the throughput update below
+                # (balance denominator must mirror the escape
+                # estimator's pdf).
+                e_half = half_vector_safe_soa(
+                    -prev_dir, env_dir, detail_normal)
+                e_dpdf = jnp.maximum(
+                    v3.dot(env_dir, detail_normal), 0.0) / jnp.pi
+                e_spdf = ggx_reflection_pdf_soa(
+                    detail_normal, env_dir, e_half, mat["roughness"]
+                )
+                e_bsdf_pdf = jnp.where(
                     allows_spec,
-                    V3((albedo.x * e_dm + e_fres * e_spec_w) * e_cos,
-                       (albedo.y * e_dm + e_fres * e_spec_w) * e_cos,
-                       (albedo.z * e_dm + e_fres * e_spec_w) * e_cos),
-                    albedo * e_dpdf,
-                ),
-            )
-            e_add = do_env & ~e_occ
-            if "env_quad" in scene:
-                from tracerboy_tpu.shade.env import (
-                    sample_environment_quad_soa,
+                    jnp.where(is_metal, e_spdf,
+                              p_spec * e_spdf + (1.0 - p_spec) * e_dpdf),
+                    e_dpdf,
                 )
+                w_env = (M * env_pdf) / jnp.maximum(
+                    M * env_pdf + e_bsdf_pdf, 1e-12)
+                # Full BSDF at env_dir (metal / plastic / lambert, the
+                # same model the throughput update applies).
+                e_spec_w = specular_weight_soa(
+                    prev_dir, env_dir, normal, detail_normal,
+                    mat["roughness"]
+                )
+                e_cos = jnp.clip(v3.dot(env_dir, normal), 0.0, 1.0)
+                e_fres = refl_coef + (1.0 - refl_coef) * jnp.power(
+                    jnp.abs(1.0 - v3.dot(-prev_dir, e_half)), 5.0
+                )
+                e_dm = (
+                    (28.0 / (23.0 * jnp.pi))
+                    * (1.0 - refl_coef)
+                    * (1.0 - jnp.power(
+                        1.0 - 0.5 * v3.dot(-prev_dir, normal), 5.0))
+                    * (1.0 - jnp.power(
+                        1.0 - 0.5 * v3.dot(env_dir, normal), 5.0))
+                )
+                e_mult = v3.where(
+                    is_metal, albedo * (e_spec_w * e_cos),
+                    v3.where(
+                        allows_spec,
+                        V3((albedo.x * e_dm + e_fres * e_spec_w) * e_cos,
+                           (albedo.y * e_dm + e_fres * e_spec_w) * e_cos,
+                           (albedo.z * e_dm + e_fres * e_spec_w) * e_cos),
+                        albedo * e_dpdf,
+                    ),
+                )
+                e_add = do_envs[j] & ~e_occs[j]
+                e_add_any = e_add_any | e_add
+                if "env_quad" in scene:
+                    from tracerboy_tpu.shade.env import (
+                        sample_environment_quad_soa,
+                    )
 
-                e_env = sample_environment_quad_soa(
-                    env_dir, scene["env_quad"], env_h, env_w,
-                    scene["env_transform"], scene["env_color_scale"],
-                    gather_mask=e_add,
-                )
-            else:
-                e_env = sample_environment_soa(
-                    env_dir, scene["env_r"], scene["env_g"],
-                    scene["env_b"], env_h, env_w,
-                    scene["env_transform"], scene["env_color_scale"],
-                )
-            e_gain = w_env / jnp.maximum(env_pdf, 1e-12)
-            if e_T is not None:
-                e_gain = e_gain * e_T
-            if cfg.has_volume:
-                # The opaque-BVH occlusion test alone would add FULL env
-                # radiance through the medium — biased bright (advisor,
-                # round 3). Attenuate the env shadow segment with the
-                # same ratio-marched transmittance regular NEE applies.
-                from tracerboy_tpu.shade.volumetric import transmittance
+                    e_env = sample_environment_quad_soa(
+                        env_dir, scene["env_quad"], env_h, env_w,
+                        scene["env_transform"], scene["env_color_scale"],
+                        gather_mask=e_add,
+                    )
+                else:
+                    e_env = sample_environment_soa(
+                        env_dir, scene["env_r"], scene["env_g"],
+                        scene["env_b"], env_h, env_w,
+                        scene["env_transform"], scene["env_color_scale"],
+                    )
+                e_gain = (w_env * invM) / jnp.maximum(env_pdf, 1e-12)
+                if e_Ts is not None:
+                    e_gain = e_gain * e_Ts[j]
+                if cfg.has_volume:
+                    # The opaque-BVH occlusion test alone would add FULL
+                    # env radiance through the medium — biased bright
+                    # (advisor, round 3). Attenuate the env shadow
+                    # segment with the same ratio-marched transmittance
+                    # regular NEE applies.
+                    from tracerboy_tpu.shade.volumetric import (
+                        transmittance,
+                    )
 
-                e_jit = hash1(i, tbrng.STREAM_ENV_NEE_SHADOW)
-                e_tvol = transmittance(
-                    scene, e_org, env_dir, e_tmax, do_env, e_jit,
-                    cfg.volume_shadow_steps,
-                )
-            else:
-                e_tvol = V3(one, one, one)
-            e_contrib = s["throughput"] * e_mult * e_env * e_gain * e_tvol
+                    e_jit = hash1(i, tbrng.STREAM_ENV_NEE_SHADOW)
+                    e_tvol = transmittance(
+                        scene, e_org, env_dir, e_tmaxs[j], do_envs[j],
+                        e_jit, cfg.volume_shadow_steps,
+                    )
+                else:
+                    e_tvol = V3(one, one, one)
+                e_contrib = (s["throughput"] * e_mult * e_env * e_gain
+                             * e_tvol)
+                e_contrib = v3.where(e_add, e_contrib,
+                                     V3(zero, zero, zero))
+                e_contrib_sum = e_contrib_sum + e_contrib
+                if cfg.decouple_albedo:
+                    # The env-NEE direction has its OWN diffuse fraction
+                    # (e_dm vs e_fres*e_spec_w), distinct from the
+                    # continuation lobe's phi — the one-scalar reference
+                    # scheme cannot represent this; the two-plane one
+                    # can.
+                    e_phi = jnp.where(
+                        is_metal | ~allows_spec, 1.0,
+                        jnp.clip(e_dm / jnp.maximum(
+                            e_dm + e_fres * e_spec_w, 1e-8), 0.0, 1.0),
+                    )
+                    w_ed = jnp.where((i == 0) & shading, e_phi, s["dc_w"])
+                    e_contrib_d_sum = e_contrib_d_sum + e_contrib * w_ed
             s["radiance"] = v3.where(
-                e_add, s["radiance"] + e_contrib, s["radiance"]
+                e_add_any, s["radiance"] + e_contrib_sum, s["radiance"]
             )
             if cfg.decouple_albedo:
-                # The env-NEE direction has its OWN diffuse fraction
-                # (e_dm vs e_fres*e_spec_w), distinct from the
-                # continuation lobe's phi — the one-scalar reference
-                # scheme cannot represent this; the two-plane one can.
-                e_phi = jnp.where(
-                    is_metal | ~allows_spec, 1.0,
-                    jnp.clip(e_dm / jnp.maximum(
-                        e_dm + e_fres * e_spec_w, 1e-8), 0.0, 1.0),
-                )
-                w_ed = jnp.where((i == 0) & shading, e_phi, s["dc_w"])
                 s["rad_d"] = v3.where(
-                    e_add, s["rad_d"] + e_contrib * w_ed, s["rad_d"]
+                    e_add_any, s["rad_d"] + e_contrib_d_sum, s["rad_d"]
                 )
             # Carry the escape-side balance weight for THIS vertex's
             # sampled lobe: applied if the continuation ray misses.
+            # M env samples -> the env technique's density is M*q.
             w_escape = pdf / jnp.maximum(
-                pdf + jnp.maximum(diffuse_pdf, 0.0), 1e-12
+                pdf + M * jnp.maximum(diffuse_pdf, 0.0), 1e-12
             )
             s["env_mis_w"] = jnp.where(
                 do_env, w_escape,

@@ -135,6 +135,13 @@ class PerformanceSettings:
     # 0), where escape-only sampling is the dominant variance; "on" /
     # "off" force it. Unbiased either way (balance-heuristic MIS).
     environment_nee: str = "auto"
+    # Env-NEE samples per diffuse-capable vertex (1..8). Interiors under
+    # env light (vw-van) are dominated by binary-visibility variance in
+    # the direct term; M occlusion feelers per vertex cut it ~1/M for
+    # the cheapest ray class traced (any-hit). Multi-sample balance
+    # heuristic keeps the estimator unbiased for any M
+    # (trace/wavefront.py env-NEE block).
+    environment_nee_samples: int = 1
     # Sample-stream generator: "pcg" (independent hash randoms +
     # blue-noise/Halton CP on the primary streams — the reference's
     # scheme, RayGenCommon.h:49-122) or "sobol" (padded Owen-scrambled
