@@ -444,6 +444,139 @@ class Renderer:
             self._accumulate(out)
         return self.state
 
+    def render_sample_adaptive(self, spp: int = 8, pilot: int = 0,
+                               exponent: float = 0.5,
+                               max_per_pixel: int = 256):
+        """Variance-guided redistribution of a FIXED sample budget.
+
+        BASELINE config 4 names 'variance-guided adaptive sampling';
+        the reference's VarianceUtil.h machinery only stops converged
+        pixels after ~64 spp, which cannot shape an 8-spp budget. This
+        burst mode redistributes instead: a uniform pilot (spp//2 by
+        default) measures per-pixel tonemapped-luma variance, the
+        residual budget is water-filled so total-per-pixel
+        n_p ~ var_p**exponent (exponent 0.5 is the L2-optimal
+        allocation; 1.0 equalizes residual variance, which suits a
+        denoiser), and the residual traces as ONE wave whose lanes
+        repeat high-variance pixels — the merged-wave machinery run
+        sideways. Unbiased: every (pixel, sample_index) lane is a fresh
+        independent estimate and filter weights accumulate per pixel.
+        """
+        import dataclasses
+
+        from tracerboy_tpu.trace.wavefront import (
+            render_wave,
+            render_wave_merged,
+        )
+
+        if self.shard is not None:
+            raise NotImplementedError(
+                "adaptive burst is single-chip; shard the spp loop "
+                "outside it"
+            )
+        pilot = pilot or max(1, spp // 2)
+        pilot = min(pilot, spp)
+        N = self.width * self.height
+        h, w = self.height, self.width
+        ids = jnp.arange(N, dtype=jnp.int32)
+        params = self.frame_params()
+        cfg = self.wave_config()
+        out = render_wave_merged(
+            self.scene_pytree, params, ids, jnp.int32(self.state.spp),
+            pilot, cfg, fold_var=True,
+        )
+        lum = np.asarray(out["lum"], np.float64)
+        lum_sq = np.asarray(out["lum_sq"], np.float64)
+        self._accumulate(out, samples=pilot)
+        budget = (spp - pilot) * N
+        if budget <= 0:
+            return self.state
+        var = np.maximum(lum_sq / pilot - (lum / pilot) ** 2, 0.0)
+        # 3x3 box smooth: a pilot-of-4 variance estimate is itself
+        # noisy; selecting on raw estimates funnels budget to lucky
+        # outliers.
+        v = var.reshape(h, w)
+        vp = np.pad(v, 1, mode="edge")
+        v = sum(
+            vp[dy:dy + h, dx:dx + w] for dy in range(3) for dx in range(3)
+        ) / 9.0
+        target = v.reshape(-1) ** exponent
+        counts = self._waterfill(target, pilot, budget, max_per_pixel)
+        self._last_adaptive_counts = counts
+        ids_r = np.repeat(np.arange(N, dtype=np.int32), counts)
+        starts = np.concatenate(
+            [[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+        occ = (np.arange(budget, dtype=np.int64)
+               - starts[ids_r]).astype(np.int32)
+        ids_dev = jnp.asarray(ids_r)
+        sidx = jnp.int32(self.state.spp) + jnp.asarray(occ)
+        p2 = dict(params)
+        if p2.get("bn") is not None:
+            p2["bn"] = tuple(b[ids_dev] for b in p2["bn"])
+        cfg_r = dataclasses.replace(cfg, want_aovs=False)
+        out_r = render_wave(self.scene_pytree, p2, ids_dev, sidx, cfg_r)
+        import jax
+
+        def seg(a):
+            return jax.ops.segment_sum(a, ids_dev, num_segments=N)
+
+        rad = jnp.stack(
+            [seg(out_r["radiance_r"]), seg(out_r["radiance_g"]),
+             seg(out_r["radiance_b"])], axis=-1,
+        ).reshape(h, w, 3)
+        fw = seg(out_r["filter_weight"]).reshape(h, w, 1)
+        sample = jnp.concatenate([rad, fw], axis=-1)
+        st = self.state
+        st.accum = st.accum + sample
+        coin = tbrng.uniform(
+            jnp.arange(h * w), jnp.int32(st.spp), 0,
+            tbrng.STREAM_ACCUM_JITTER,
+        ).reshape(h, w, 1)
+        take = (st.spp == 0) | (coin[..., 0] < 0.5)
+        st.accum_jittered = jnp.where(
+            take[..., None], st.accum_jittered + sample,
+            st.accum_jittered,
+        )
+        st.spp += spp - pilot
+        return st
+
+    @staticmethod
+    def _waterfill(target, pilot, budget, cap):
+        """Integer allocation m_p >= 0 with sum m_p == budget such that
+        pilot + m_p tracks c*target (water-filling above the pilot
+        floor, capped). Bisection on c, largest-remainder rounding."""
+        t = np.asarray(target, np.float64)
+        N = t.shape[0]
+        if not np.isfinite(t).all():
+            t = np.nan_to_num(t)
+        if t.sum() <= 0.0:
+            m = np.full(N, budget // N, np.int64)
+            m[: budget - int(m.sum())] += 1
+            return m
+        alloc = lambda c: np.minimum(np.maximum(c * t - pilot, 0.0), cap)
+        lo, hi = 0.0, 1.0
+        while alloc(hi).sum() < budget and hi < 1e18:
+            hi *= 2.0
+        for _ in range(60):
+            mid = 0.5 * (lo + hi)
+            if alloc(mid).sum() < budget:
+                lo = mid
+            else:
+                hi = mid
+        frac = alloc(hi)
+        m = np.floor(frac).astype(np.int64)
+        short = budget - int(m.sum())
+        if short > 0:
+            rem = frac - m
+            # Deterministic largest-remainder top-up.
+            order = np.argsort(-rem, kind="stable")[:short]
+            m[order] += 1
+        elif short < 0:
+            order = np.argsort(frac - m, kind="stable")
+            gz = order[m[order] > 0][: -short]
+            m[gz] -= 1
+        return m
+
     # -- multi-chip product paths (SURVEY.md §2.8; the reference is
     # single-GPU — TracerBoy.cpp:2906-2908's SIMT dispatch is the axis
     # these shard across chips) ------------------------------------------

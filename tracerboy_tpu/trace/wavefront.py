@@ -1769,9 +1769,10 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
     return out
 
 
-@partial(jax.jit, static_argnames=("cfg", "k", "fold_aovs"))
+@partial(jax.jit, static_argnames=("cfg", "k", "fold_aovs", "fold_var"))
 def render_wave_merged(scene, params, pixel_ids, base_sample, k: int,
-                       cfg: WaveConfig, fold_aovs: bool = False):
+                       cfg: WaveConfig, fold_aovs: bool = False,
+                       fold_var: bool = False):
     """Trace k samples per pixel in ONE wave of k*N lanes.
 
     Cross-sample regeneration: merging samples multiplies the ray-space
@@ -1814,6 +1815,18 @@ def render_wave_merged(scene, params, pixel_ids, base_sample, k: int,
         rays_traced=out["rays_traced"],
         live_end=out["live_end"],
     )
+    if fold_var:
+        # Per-pixel first/second moments of the per-sample TONEMAPPED
+        # luma — the pilot statistic for variance-guided sample
+        # redistribution (Renderer.render_sample_adaptive; BASELINE
+        # config 4 names the capability). Tonemapped domain because the
+        # fidelity gates score there.
+        fw1 = jnp.maximum(out["filter_weight"], 1e-8)
+        lin = (0.2126 * out["radiance_r"] + 0.7152 * out["radiance_g"]
+               + 0.0722 * out["radiance_b"]) / fw1
+        tl = jnp.power(jnp.clip(lin, 0.0, 1.0), 1.0 / 2.2)
+        result["lum"] = fold(tl)
+        result["lum_sq"] = fold(tl * tl)
     if cfg.decouple_albedo:
         result["radiance_d"] = fold(out["radiance_d"])
     if cfg.want_aovs:
