@@ -44,7 +44,9 @@ from functools import partial
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
-PARTIAL_PATH = os.path.join(os.path.dirname(__file__), "BENCH_partial.json")
+PARTIAL_PATH = os.environ.get(
+    "TB_BENCH_PARTIAL",
+    os.path.join(os.path.dirname(__file__), "BENCH_partial.json"))
 SCENES = {
     "cornell": "/root/reference/Scenes/cornell-box/scene.pbrt",
     "teapot": "/root/reference/Scenes/Teapot/scene.pbrt",
@@ -151,7 +153,12 @@ def _setup_jax():
     try:
         jax.config.update("jax_compilation_cache_dir",
                           "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # 0.0: cache EVERY compile. On this runtime each tiny eager op
+        # costs ~0.4-0.7 s to compile over the device tunnel (measured
+        # round 5: a vw-van scene build spends 25-110 s in < 1 s
+        # compiles), so the default 1 s floor exempted exactly the ops
+        # that dominate cold-start wall clock.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
     return jax

@@ -19,10 +19,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
 
 
-def _run_bench(budget, extra_env=None, timeout=120):
+def _run_bench(budget, extra_env=None, timeout=120, partial=None):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["TB_BENCH_BUDGET"] = str(budget)
+    if partial:
+        env["TB_BENCH_PARTIAL"] = partial
     if extra_env:
         env.update(extra_env)
     proc = subprocess.run(
@@ -40,10 +42,11 @@ def _last_json_line(stdout):
 
 
 @pytest.mark.smoke
-def test_bench_tiny_budget_still_prints_json():
+def test_bench_tiny_budget_still_prints_json(tmp_path):
     """With a budget too small for any section, every section records a
     skip marker and the JSON line still prints (rc=0)."""
-    proc = _run_bench(budget=5, timeout=180)
+    partial = str(tmp_path / "BENCH_partial.json")
+    proc = _run_bench(budget=5, timeout=180, partial=partial)
     assert proc.returncode == 0, proc.stderr[-2000:]
     payload = _last_json_line(proc.stdout)
     assert payload["unit"] == "Mrays/s"
@@ -56,7 +59,6 @@ def test_bench_tiny_budget_still_prints_json():
     ), cfg
     assert "bench/elapsed_s" in cfg
     # The partial flush file exists and parses.
-    partial = os.path.join(REPO, "BENCH_partial.json")
     assert os.path.exists(partial)
     with open(partial) as f:
         json.load(f)
@@ -70,6 +72,8 @@ def test_bench_sigterm_emits_json():
     env["JAX_PLATFORMS"] = "cpu"
     env["TB_BENCH_BUDGET"] = "600"
     env["TB_BENCH_TEST_SLEEP"] = "120"  # interruptible stall hook
+    env["TB_BENCH_PARTIAL"] = os.path.join(
+        os.path.dirname(BENCH), ".pytest_bench_partial.json")
     proc = subprocess.Popen(
         [sys.executable, BENCH, "--skip",
          "headline,configs,realtime,psnr,rmse,tungsten"],
