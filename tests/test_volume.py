@@ -259,3 +259,158 @@ class TestVolumeRender:
         assert back.vol_g == pytest.approx(0.3)
         pt = back.as_pytree()
         assert "vol_majorant" in pt
+
+
+class TestTrilinear:
+    def _oct_scene(self, dd, lo=None, hi=None):
+        import dataclasses
+
+        vol = VolumeIR(
+            density=dd.astype(np.float32),
+            lo=np.array([0, 0, 0], np.float32) if lo is None else lo,
+            hi=np.array([1, 1, 1], np.float32) if hi is None else hi,
+            sigma_a=np.full(3, 0.3, np.float32),
+            sigma_s=np.full(3, 0.7, np.float32),
+        )
+        sc = scene_dict(vol)
+        D, H, W = dd.shape
+        zs = np.minimum(np.arange(D) + 1, D - 1)
+        ys = np.minimum(np.arange(H) + 1, H - 1)
+        xs = np.minimum(np.arange(W) + 1, W - 1)
+        sc["vol_oct"] = jnp.asarray(np.stack(
+            [dd, dd[:, :, xs], dd[:, ys], dd[:, ys][:, :, xs],
+             dd[zs], dd[zs][:, :, xs], dd[zs][:, ys],
+             dd[zs][:, ys][:, :, xs]], axis=-1,
+        ).reshape(-1, 8).astype(np.float32))
+        return sc
+
+    def test_matches_numpy_trilerp(self):
+        """sample_density_trilinear == scipy-style trilerp on random
+        points strictly inside the voxel-center hull."""
+        from tracerboy_tpu.shade.volumetric import (
+            sample_density_trilinear,
+        )
+
+        rng = np.random.default_rng(7)
+        dd = rng.uniform(0.0, 2.0, size=(5, 6, 7)).astype(np.float32)
+        sc = self._oct_scene(dd)
+        D, H, W = dd.shape
+        # Points inside the center hull: f in [0.5/n, (n-0.5)/n).
+        n = 256
+        fz = rng.uniform(0.5 / D, (D - 0.51) / D, n)
+        fy = rng.uniform(0.5 / H, (H - 0.51) / H, n)
+        fx = rng.uniform(0.5 / W, (W - 0.51) / W, n)
+        got = np.asarray(sample_density_trilinear(
+            sc, jnp.asarray(fx, jnp.float32), jnp.asarray(fy, jnp.float32),
+            jnp.asarray(fz, jnp.float32)))
+
+        def ref(fz1, fy1, fx1):
+            cz, cy, cx = fz1 * D - 0.5, fy1 * H - 0.5, fx1 * W - 0.5
+            bz, by, bx = int(np.floor(cz)), int(np.floor(cy)), int(np.floor(cx))
+            wz, wy, wx = cz - bz, cy - by, cx - bx
+            v = 0.0
+            for dz in (0, 1):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        w = ((wz if dz else 1 - wz) * (wy if dy else 1 - wy)
+                             * (wx if dx else 1 - wx))
+                        v += w * dd[min(bz + dz, D - 1),
+                                    min(by + dy, H - 1),
+                                    min(bx + dx, W - 1)]
+            return v
+
+        want = np.array([ref(fz[i], fy[i], fx[i]) for i in range(n)])
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+    def test_never_exceeds_majorant(self):
+        """Interpolated density <= max(density): the delta-tracking
+        majorant stays a true bound under trilinear taps."""
+        from tracerboy_tpu.shade.volumetric import (
+            sample_density_trilinear,
+        )
+
+        rng = np.random.default_rng(3)
+        dd = rng.uniform(0.0, 5.0, size=(8, 8, 8)).astype(np.float32)
+        sc = self._oct_scene(dd)
+        n = 4096
+        f = rng.uniform(-0.2, 1.2, size=(3, n)).astype(np.float32)
+        got = np.asarray(sample_density_trilinear(
+            sc, jnp.asarray(f[0]), jnp.asarray(f[1]), jnp.asarray(f[2])))
+        assert got.max() <= dd.max() + 1e-5
+        assert got.min() >= 0.0
+
+
+class TestVolumeLightMIS:
+    def test_hg_pdf_normalized(self):
+        """hg_pdf integrates to 1 over the sphere for several g."""
+        from tracerboy_tpu.shade.volumetric import hg_pdf
+
+        mu = np.linspace(-1, 1, 20001)
+        for g in (0.0, 0.3, -0.5, 0.85):
+            pdf = np.asarray(hg_pdf(jnp.asarray(mu, jnp.float32),
+                                    jnp.float32(g)))
+            integral = 2 * np.pi * np.trapezoid(pdf, mu)
+            assert abs(integral - 1.0) < 2e-3, (g, integral)
+
+    def test_balance_weights_complementary(self):
+        """w_nee + w_phase == 1 for the same light point: the NEE-side
+        weight (solid-angle-converted area pdf, shade path) and the
+        hit-side weight (t^2/(num_lights*area*cos), emissive path) use
+        the same p_L, so the pair telescopes to an unbiased estimator."""
+        from tracerboy_tpu.shade.volumetric import hg_pdf
+
+        rng = np.random.default_rng(11)
+        num_lights = 3
+        for _ in range(50):
+            area = float(rng.uniform(0.05, 4.0))
+            dist = float(rng.uniform(0.2, 10.0))
+            cos_l = float(rng.uniform(0.05, 1.0))
+            cos_ph = float(rng.uniform(-1.0, 1.0))
+            g = float(rng.uniform(-0.8, 0.8))
+            p_phase = float(np.asarray(hg_pdf(jnp.float32(cos_ph),
+                                              jnp.float32(g))))
+            pdf_area = 1.0 / (num_lights * area)
+            p_lw_nee = pdf_area * dist * dist / cos_l          # NEE side
+            p_lw_hit = dist * dist / (num_lights * area * cos_l)  # hit side
+            assert abs(p_lw_nee - p_lw_hit) < 1e-9 * max(p_lw_nee, 1.0)
+            w_nee = p_lw_nee / (p_lw_nee + p_phase)
+            w_ph = p_phase / (p_phase + p_lw_hit)
+            assert abs(w_nee + w_ph - 1.0) < 1e-6
+
+    def test_mis_unbiased_cornell_cloud(self):
+        """Cornell + cloud: the MIS estimator's mean matches the
+        NEE-only estimator's within joint SE (both unbiased)."""
+        import dataclasses
+
+        from tracerboy_tpu.renderer import Renderer
+
+        path = "/root/reference/Scenes/cornell-box/scene.pbrt"
+        if not os.path.exists(path):
+            pytest.skip("cornell scene not present")
+        vol = procedural_cloud(n=8)
+        vol.lo = np.array([-0.6, 0.3, -0.4], np.float32)
+        vol.hi = np.array([0.6, 1.5, 0.6], np.float32)
+
+        means, errs = [], []
+        for mis in (True, False):
+            r = Renderer(path, film_size=(32, 32), volume=vol)
+            assert r.wave_config().volume_light_mis  # default ON
+            ps = dataclasses.replace(
+                r.settings.performance_settings, volume_light_mis=mis)
+            r.settings = dataclasses.replace(
+                r.settings, performance_settings=ps)
+            assert r.wave_config().volume_light_mis == mis
+            vals = []
+            for chunk in range(4):
+                r.render_sample(8)
+                vals.append(float(np.asarray(
+                    r.resolve_radiance()).mean()))
+            img = np.asarray(r.resolve_radiance())
+            assert np.isfinite(img).all()
+            # SE of the 4 cumulative-mean increments (coarse but
+            # seed-independent).
+            inc = np.diff(np.array([0.0] + vals))
+            means.append(np.mean(img))
+            errs.append(np.std(inc) / np.sqrt(len(inc)))
+        tol = 4.0 * np.hypot(errs[0], errs[1]) + 1e-4
+        assert abs(means[0] - means[1]) < tol, (means, errs)

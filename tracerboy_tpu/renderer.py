@@ -288,6 +288,7 @@ class Renderer:
                     self.compiled.materials["normal_tex"]) >= 0).any()
             ),
             has_volume=self.compiled.has_volume,
+            volume_light_mis=perf.volume_light_mis,
             has_instances=self.compiled.has_instances,
             transparent_shadows=perf.transparent_shadows,
             want_heatmap=(s.output_type == OutputType.HEATMAP),

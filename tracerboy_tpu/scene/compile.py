@@ -220,8 +220,47 @@ class CompiledScene:
         if self.has_volume:
             dd = self.vol_density
             sig_t = self.vol_sigma_a + self.vol_sigma_s
+            # Trilinear stencil rows (the env_quad trick in 3D): row c
+            # (voxel z,y,x) holds the 8 corner densities of the trilerp
+            # cell anchored at c, so ONE row-gather fetches the whole
+            # stencil (wide-row gathers lower to block loads on TPU —
+            # see ARCHITECTURE.md "gathers want wide rows"). 8x grid
+            # memory, HBM-resident.
+            D_, H_, W_ = dd.shape
+            zs = np.minimum(np.arange(D_) + 1, D_ - 1)
+            ys = np.minimum(np.arange(H_) + 1, H_ - 1)
+            xs = np.minimum(np.arange(W_) + 1, W_ - 1)
+            oct_rows = np.stack(
+                [
+                    dd, dd[:, :, xs], dd[:, ys], dd[:, ys][:, :, xs],
+                    dd[zs], dd[zs][:, :, xs], dd[zs][:, ys],
+                    dd[zs][:, ys][:, :, xs],
+                ],
+                axis=-1,
+            ).reshape(-1, 8).astype(np.float32)
+            # Per-triangle area for the phase<->light MIS weight at
+            # emissive hits (per-tri light records make the solid-angle
+            # light pdf exact: p = d^2 / (num_lights * area * cos)).
+            # Volume scenes only — keeps non-volume pytrees (and their
+            # compile-cache keys) unchanged. Emitted in BOTH triangle id
+            # spaces: scene order (tri_area, for the jnp/brute backends)
+            # and packed order (pk_tri_area, matching the pallas
+            # kernel's hit ids / pk_attr_rows).
+            te1 = self.tri_v1 - self.tri_v0
+            te2 = self.tri_v2 - self.tri_v0
+            tri_area = np.maximum(
+                0.5 * np.linalg.norm(np.cross(te1, te2), axis=1), 1e-12
+            ).astype(np.float32)
+            area_tables = dict(tri_area=j(tri_area))
+            if "pk_tri_map" in extra:
+                pk_order = np.clip(
+                    np.asarray(extra["pk_tri_map"]), 0,
+                    tri_area.shape[0] - 1)
+                area_tables["pk_tri_area"] = j(tri_area[pk_order])
             volume = dict(
+                **area_tables,
                 vol_density=j(dd.reshape(-1)),
+                vol_oct=j(oct_rows),
                 vol_dims=j(np.array(dd.shape, np.int32)),
                 vol_lo=j(self.vol_lo), vol_hi=j(self.vol_hi),
                 vol_sigma_a=j(self.vol_sigma_a),

@@ -5,9 +5,11 @@ compile-disabled) but never shades it; its kernel cites the Pixar
 production-volume-rendering course for the intended anisotropic phase
 (kernel.glsl:1200). This module supplies that missing shading,
 TPU-native: fixed-iteration masked walks (no data-dependent loops under
-jit), nearest-neighbor density gathers from a flat (D*H*W,) plane, and
-spectral null-collision weights so colored sigma_a/sigma_s stay
-unbiased (Kutz et al. 2017 spectral tracking, single scalar majorant).
+jit), trilinear density taps via single wide-row gathers from a
+precomputed (D*H*W, 8) corner-stencil table (nearest-neighbor plane
+kept as fallback), and spectral null-collision weights so colored
+sigma_a/sigma_s stay unbiased (Kutz et al. 2017 spectral tracking,
+single scalar majorant).
 
 Used by trace/wavefront.py when the compiled scene carries a volume
 (cfg.has_volume): camera/bounce segments get a delta-tracked scatter
@@ -66,6 +68,70 @@ def sample_density(scene, px, py, pz):
     return jnp.where(inside, scene["vol_density"][flat], 0.0)
 
 
+def sample_density_trilinear(scene, px, py, pz):
+    """Trilinearly interpolated density at SoA world positions.
+
+    One row-gather from the precomputed (D*H*W, 8) corner-stencil table
+    (scene["vol_oct"], built in scene/compile.py — the env_quad trick in
+    3D), then an 8-tap lerp on the VPU. Voxel CENTERS are the sample
+    points (continuous coords f*dim - 0.5, edge-clamped), so the field
+    is C0 everywhere inside the grid; interpolated values never exceed
+    max(density), which keeps the delta-tracking majorant a true bound.
+    """
+    lo = scene["vol_lo"]
+    hi = scene["vol_hi"]
+    dims = scene["vol_dims"]  # (D, H, W) = (z, y, x)
+    ext = jnp.maximum(hi - lo, 1e-12)
+    fz = (pz - lo[2]) / ext[2]
+    fy = (py - lo[1]) / ext[1]
+    fx = (px - lo[0]) / ext[0]
+    inside = (
+        (fx >= 0) & (fx < 1) & (fy >= 0) & (fy < 1) & (fz >= 0) & (fz < 1)
+    )
+
+    def axis(f, n):
+        c = f * n.astype(jnp.float32) - 0.5
+        b = jnp.clip(jnp.floor(c), 0.0, n.astype(jnp.float32) - 1.0)
+        return b.astype(jnp.int32), jnp.clip(c - b, 0.0, 1.0)
+
+    bz, wz = axis(fz, dims[0])
+    by, wy = axis(fy, dims[1])
+    bx, wx = axis(fx, dims[2])
+    flat = (bz * dims[1] + by) * dims[2] + bx
+    row = scene["vol_oct"][flat]  # (N, 8)
+    # Corner order (see compile.py): [z y x], [z y x+], [z y+ x],
+    # [z y+ x+], [z+ y x], [z+ y x+], [z+ y+ x], [z+ y+ x+].
+    lx0 = row[:, 0] * (1 - wx) + row[:, 1] * wx
+    lx1 = row[:, 2] * (1 - wx) + row[:, 3] * wx
+    lx2 = row[:, 4] * (1 - wx) + row[:, 5] * wx
+    lx3 = row[:, 6] * (1 - wx) + row[:, 7] * wx
+    ly0 = lx0 * (1 - wy) + lx1 * wy
+    ly1 = lx2 * (1 - wy) + lx3 * wy
+    return jnp.where(inside, ly0 * (1 - wz) + ly1 * wz, 0.0)
+
+
+def density_at(scene, px, py, pz):
+    """Trilinear when the stencil table is present, else nearest."""
+    if "vol_oct" in scene:
+        return sample_density_trilinear(scene, px, py, pz)
+    return sample_density(scene, px, py, pz)
+
+
+def hg_pdf(cos_t, g):
+    """Henyey-Greenstein phase density over solid angle (= the phase
+    value itself: sample_hg draws proportional to it, so it doubles as
+    the MIS pdf). |g| ~ 0 falls back to the isotropic 1/4pi."""
+    g = jnp.asarray(g, jnp.float32)
+    iso = jnp.abs(g) < 1e-3
+    den = jnp.power(
+        jnp.maximum(1.0 + g * g - 2.0 * g * cos_t, 1e-6), 1.5
+    )
+    return jnp.where(
+        iso, jnp.full_like(cos_t, 1.0 / (4.0 * jnp.pi)),
+        (1.0 - g * g) / (4.0 * jnp.pi * den),
+    )
+
+
 def delta_track(scene, o, d, t_lim, active, rng2, steps: int):
     """Delta-tracked medium interaction along [0, t_lim].
 
@@ -99,7 +165,7 @@ def delta_track(scene, o, d, t_lim, active, rng2, steps: int):
         px = o.x + d.x * tcur
         py = o.y + d.y * tcur
         pz = o.z + d.z * tcur
-        dens = sample_density(scene, px, py, pz)
+        dens = density_at(scene, px, py, pz)
         p_real = jnp.clip(dens * sig_t_max / maj, 0.0, 1.0)
         real = live & (u2 < p_real)
         # Real collision: scatter with per-channel albedo weight
@@ -161,7 +227,7 @@ def transmittance(scene, o, d, t_max, active, jitter, steps: int):
         px = o.x + d.x * tj
         py = o.y + d.y * tj
         pz = o.z + d.z * tj
-        acc = acc + sample_density(scene, px, py, pz)
+        acc = acc + density_at(scene, px, py, pz)
     tau = jnp.where(march, acc * dt, 0.0)
     return V3(
         jnp.exp(-tau * sig_t[0]),

@@ -648,6 +648,12 @@ class WaveConfig:
                                     # finish; this only bounds the RNG
                                     # stream space)
     volume_shadow_steps: int = 8    # ratio-marching samples per NEE ray
+    # Phase<->light MIS at volume vertices: NEE is balance-weighted
+    # against the HG-sampled continuation hitting the same light, and
+    # phase-sampled light hits are added with the complementary weight
+    # (exact per-tri solid-angle pdf; see the emissive-hit block).
+    # False = the NEE-only estimator (rounds 1-4) for A/B tests.
+    volume_light_mis: bool = True
     # Fresnel-weighted lobe selection (the reference's
     # bUseSpecularRayImportanceSampling A/B, kernel.glsl:1397-1414 and
     # 1708): pick the specular lobe with probability SpecularCoef
@@ -909,6 +915,13 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         rays_traced=jnp.sum(vz),
         live_end=jnp.sum(vz),
     )
+    if cfg.has_volume:
+        # Phase pdf of the PREVIOUS vertex's HG continuation (0 = the
+        # previous vertex was not a volume scatter). Carried for the
+        # phase<->light MIS pair at emissive hits: NEE at a volume
+        # vertex is balance-weighted against the phase-sampled
+        # continuation hitting the same light, and vice versa.
+        state["prev_phase_pdf"] = zero
     if cfg.has_env:
         # Lazy environment: each lane misses at most once, so the miss
         # just RECORDS (throughput, direction stays in state) and ONE
@@ -1194,6 +1207,42 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
             s["radiance"] + s["throughput"] * mat["emissive"],
             s["radiance"],
         )
+        if (cfg.has_volume and cfg.volume_light_mis and cfg.enable_nee
+                and cfg.num_lights > 0):
+            # Phase<->light MIS, phase side: a lane whose previous
+            # vertex was a volume scatter hit a light the NEE-only
+            # convention would drop. Add it balance-weighted against
+            # the solid-angle pdf NEE had for this exact light point:
+            # p_L = t^2 / (num_lights * tri_area * cos) — exact because
+            # light records are per-triangle (scene/compile.py
+            # add_light_records). Front side only (ray_dot_n < 0),
+            # matching NEE's `facing` test, and flat-scene ids only
+            # (instanced emissive keeps the NEE-only convention).
+            area_key = ("pk_tri_area" if cfg.traversal == "pallas"
+                        else "tri_area")
+            T_area = scene[area_key].shape[0]
+            tri_a = jnp.clip(tric, 0, T_area - 1)
+            a_hit = scene[area_key][tri_a]
+            p_ph = s["prev_phase_pdf"]
+            p_lw_hit = (t * t) / jnp.maximum(
+                cfg.num_lights * a_hit * jnp.abs(ray_dot_n), 1e-9)
+            w_ph = p_ph / jnp.maximum(p_ph + p_lw_hit, 1e-12)
+            vol_emis = (
+                shading & is_light & ~take_emissive & (p_ph > 0.0)
+                & (ray_dot_n < 0.0) & (tri_a == tric)
+            )
+            s["radiance"] = v3.where(
+                vol_emis,
+                s["radiance"] + s["throughput"] * mat["emissive"] * w_ph,
+                s["radiance"],
+            )
+            if cfg.decouple_albedo:
+                s["rad_d"] = v3.where(
+                    vol_emis,
+                    s["rad_d"] + s["throughput"] * mat["emissive"]
+                    * w_ph * s["dc_w"],
+                    s["rad_d"],
+                )
 
         # --- first-hit AOVs (RayGenCommon.h:524-654) --------------------
         first = (i == 0) & shading
@@ -1269,14 +1318,29 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
                 )
             surf_w = diffuse_brdf_soa(ls["direction"], detail_normal)
             if cfg.has_volume:
-                # Henyey-Greenstein phase value at the volume vertex.
+                # Henyey-Greenstein phase value at the volume vertex —
+                # also the pdf of the phase-sampled competitor
+                # (sample_hg draws proportional to the phase), so the
+                # balance weight against it is exact. p_L is converted
+                # to solid angle (pdf_area * d^2 / cos); directional
+                # lights (distance 1e9) drive the weight to 1, matching
+                # their delta pdf (phase sampling cannot hit them).
+                from tracerboy_tpu.shade.volumetric import hg_pdf
+
                 g = scene["vol_g"]
                 cos_lv = v3.dot(s["direction"], ls["direction"])
-                denom_hg = jnp.power(
-                    jnp.maximum(1.0 + g * g - 2.0 * g * cos_lv, 1e-6), 1.5
-                )
-                phase_val = (1.0 - g * g) / (4.0 * jnp.pi * denom_hg)
-                surf_w = jnp.where(vol_scatter, phase_val, surf_w)
+                phase_val = hg_pdf(cos_lv, g)
+                cos_light = jnp.abs(
+                    v3.dot(ls["normal"], ls["direction"]))
+                p_lw = (ls["pdf"] * ls["distance"] ** 2
+                        / jnp.maximum(cos_light, 1e-6))
+                if cfg.volume_light_mis:
+                    w_vol_nee = p_lw / jnp.maximum(
+                        p_lw + phase_val, 1e-12)
+                else:
+                    w_vol_nee = 1.0
+                surf_w = jnp.where(
+                    vol_scatter, phase_val * w_vol_nee, surf_w)
             light_mult = (
                 ls["attenuation"]
                 * surf_w
@@ -1674,7 +1738,17 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         if cfg.has_volume:
             # Volume scatter: continue from the collision point along the
             # HG-sampled direction (pdf == phase, weight 1; the albedo
-            # was folded into the delta-tracking weight).
+            # was folded into the delta-tracking weight). Record the
+            # continuation's phase pdf (s["direction"] still holds the
+            # INCOMING direction for vol lanes here) so the next bounce
+            # can MIS-weight an emissive hit against volume NEE.
+            from tracerboy_tpu.shade.volumetric import hg_pdf
+
+            s["prev_phase_pdf"] = jnp.where(
+                vol_scatter,
+                hg_pdf(v3.dot(s["direction"], vol_dir), scene["vol_g"]),
+                0.0,
+            )
             s["origin"] = v3.where(vol_scatter, vol_point, s["origin"])
             s["direction"] = v3.where(vol_scatter, vol_dir, s["direction"])
             s["prev_perfect_specular"] = jnp.where(

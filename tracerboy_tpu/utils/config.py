@@ -142,6 +142,10 @@ class PerformanceSettings:
     # heuristic keeps the estimator unbiased for any M
     # (trace/wavefront.py env-NEE block).
     environment_nee_samples: int = 1
+    # Phase<->light MIS at volume scatter vertices (balance-weighted
+    # NEE + phase-sampled light hits; trace/wavefront.py). False = the
+    # NEE-only volume estimator (rounds 1-4); both are unbiased.
+    volume_light_mis: bool = True
     # Sample-stream generator: "pcg" (independent hash randoms +
     # blue-noise/Halton CP on the primary streams — the reference's
     # scheme, RayGenCommon.h:49-122) or "sobol" (padded Owen-scrambled
