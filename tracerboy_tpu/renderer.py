@@ -243,6 +243,10 @@ class Renderer:
             enable_ris=perf.enable_sampling_importance_resampling,
             filter_type=int(s.camera_settings.filter_type),
             filter_width=s.camera_settings.filter_width,
+            filter_splat=bool(
+                s.camera_settings.filter_splat
+                and s.render_mode != RenderMode.REAL_TIME
+            ),
             use_blue_noise=perf.use_blue_noise,
             sampler=perf.sampler,
             compact_dead_rays=perf.enable_ray_compaction,
@@ -407,9 +411,16 @@ class Renderer:
             from tracerboy_tpu.trace.wavefront import render_wave_merged
 
             use_merged = (
-                cfg.traversal == "pallas"
+                (cfg.traversal == "pallas" or cfg.filter_splat)
                 and params.get("selected_pixel") is None
             )
+            if cfg.filter_splat and not use_merged:
+                import warnings
+
+                warnings.warn(
+                    "filter_splat needs merged full-film waves; "
+                    "falling back to the in-pixel box filter"
+                )
             if use_merged:
                 # Density cap 48 (was 32): vw-van merged waves measured
                 # 1.58 (k=16) -> 2.05 (k=32) -> 2.27 Mrays/s (k=48,
@@ -419,7 +430,7 @@ class Renderer:
                 done = 0
                 while done < n:
                     kk = min(n - done, k_max)
-                    if kk == 1:
+                    if kk == 1 and not cfg.filter_splat:
                         out = render_wave(
                             self.scene_pytree, params, pixel_ids,
                             jnp.int32(self.state.spp), cfg,
@@ -438,10 +449,20 @@ class Renderer:
             )
             self._accumulate(out, samples=n)
         else:
-            out = render_wave(
-                self.scene_pytree, params, pixel_ids,
-                jnp.int32(self.state.spp), cfg,
-            )
+            if cfg.filter_splat and params.get("selected_pixel") is None:
+                from tracerboy_tpu.trace.wavefront import (
+                    render_wave_merged,
+                )
+
+                out = render_wave_merged(
+                    self.scene_pytree, params, pixel_ids,
+                    jnp.int32(self.state.spp), 1, cfg,
+                )
+            else:
+                out = render_wave(
+                    self.scene_pytree, params, pixel_ids,
+                    jnp.int32(self.state.spp), cfg,
+                )
             self._accumulate(out)
         return self.state
 

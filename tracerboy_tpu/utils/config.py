@@ -90,6 +90,14 @@ class CameraSettings:
     dof_aperture_width: float = 0.01
     filter_width: float = 1.0
     filter_type: FilterType = FilterType.BOX
+    # Cross-pixel reconstruction splat (pbrt-style): each sample lands
+    # in its 2x2 pixel-center neighborhood with partition-of-unity tent
+    # weights instead of weighting within its own pixel only (the
+    # reference's in-pixel scheme, kernel.glsl:1843-1868). ~2.25x
+    # effective samples per pixel for smooth content at a tent's worth
+    # of reconstruction blur; converged goldens must be rendered with
+    # the same filter. Merged full-film waves only.
+    filter_splat: bool = False
 
 
 @dataclass(frozen=True)
