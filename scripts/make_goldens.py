@@ -6,7 +6,12 @@ time-to-PSNR gates. Run once on TPU hardware; goldens/ is committed.
 Goldens (linear radiance EXRs):
   cornell_512.exr      cornell-box 512x512, 1024 spp
   cornell_1080p.exr    cornell-box 1920x1088, 256 spp
-  vwvan_512x320.exr    vw-van 512x320, 1024 spp (pallas backend)
+  vwvan_512x320.exr    vw-van 512x320, 8192 spp (pallas backend)
+  vwvan_512x320_g.exr  same, rendered with the tent reconstruction
+                       splat (CameraSettings.filter_splat) — the gate
+                       target for splat-filtered renders; a splat
+                       render must NEVER be scored against the box
+                       golden (different reconstruction kernels).
 """
 
 import argparse
@@ -31,7 +36,10 @@ JOBS = {
     # (per-sample sigma ~0.20) 8192 spp puts the floor at ~0.002.
     "vwvan_512x320": ("/root/reference/Scenes/vw-van/vw-van.pbrt",
                       (512, 320), 8192),
+    "vwvan_512x320_g": ("/root/reference/Scenes/vw-van/vw-van.pbrt",
+                        (512, 320), 8192),
 }
+SPLAT_JOBS = {"vwvan_512x320_g"}
 
 
 def main():
@@ -56,6 +64,14 @@ def main():
             continue
         t0 = time.time()
         r = Renderer(path, film_size=film)
+        if name in SPLAT_JOBS:
+            import dataclasses
+
+            cam = dataclasses.replace(
+                r.settings.camera_settings, filter_splat=True)
+            r.settings = dataclasses.replace(
+                r.settings, camera_settings=cam)
+            assert r.wave_config().filter_splat
         print(f"{name}: backend={r.traversal}, {spp} spp @ {film} ...")
         done = 0
         while done < spp:

@@ -157,6 +157,57 @@ class TestSceneCache:
             cs1.camera.position, cs2.camera.position
         )
 
+    def test_film_size_hits_cache(self, tmp_path):
+        """One native-res cache serves every film_size (the camera is
+        film-size independent; load_scene only swaps the film dims)."""
+        import shutil
+
+        import tests.conftest as c
+        from tracerboy_tpu.scene.compile import load_scene
+
+        src = c.require_scene("cornell-box/scene.pbrt")
+        dst = tmp_path / "scene.pbrt"
+        shutil.copy(src, dst)
+        cs1 = load_scene(str(dst), film_size=(64, 48))
+        assert (cs1.film_width, cs1.film_height) == (64, 48)
+        cache = tmp_path / "scene.pbrt.tbcache.npz"
+        assert cache.exists()
+        stamp = cache.stat().st_mtime_ns
+        cs2 = load_scene(str(dst), film_size=(32, 32))
+        assert (cs2.film_width, cs2.film_height) == (32, 32)
+        assert cache.stat().st_mtime_ns == stamp  # hit, not rebuilt
+        np.testing.assert_array_equal(cs1.tri_v0, cs2.tri_v0)
+
+    def test_readonly_scene_dir_uses_user_cache(self, tmp_path,
+                                                monkeypatch):
+        """Read-only checkouts (the reference's Scenes/) cache under
+        $TB_SCENE_CACHE instead of skipping the cache entirely."""
+        import os
+        import shutil
+
+        import tests.conftest as c
+        from tracerboy_tpu.scene.compile import load_scene
+
+        src = c.require_scene("cornell-box/scene.pbrt")
+        ro = tmp_path / "ro"
+        ro.mkdir()
+        shutil.copy(src, ro / "scene.pbrt")
+        # Tests run as root, which bypasses permission bits — simulate
+        # the unwritable scene dir by stubbing os.access instead.
+        real_access = os.access
+        monkeypatch.setattr(
+            os, "access",
+            lambda p, mode: (False if str(p) == str(ro)
+                             else real_access(p, mode)))
+        cachedir = tmp_path / "cache"
+        monkeypatch.setenv("TB_SCENE_CACHE", str(cachedir))
+        cs1 = load_scene(str(ro / "scene.pbrt"), film_size=(32, 32))
+        cached = list(cachedir.glob("*.npz"))
+        assert len(cached) == 1, cached
+        assert not (ro / "scene.pbrt.tbcache.npz").exists()
+        cs2 = load_scene(str(ro / "scene.pbrt"), film_size=(32, 32))
+        np.testing.assert_array_equal(cs1.tri_v0, cs2.tri_v0)
+
 
 class TestGLTF:
     """glTF 2.0 import (the AssimpImporter any-format breadth,

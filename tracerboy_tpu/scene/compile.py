@@ -961,24 +961,66 @@ def load_scene_async(path: str, use_cache: bool = True, film_size=None,
     return fut
 
 
+def _cache_path(path: str) -> str:
+    """Where the compiled .npz for `path` lives.
+
+    Adjacent `<scene>.tbcache.npz` when the scene directory is writable
+    (so the cache travels with the scene, like the reference's .pbf
+    serialization — PBRTParser serializes parsed scenes to a binary
+    sidecar for the same reload-latency reason); otherwise a keyed file
+    under $TB_SCENE_CACHE (default ~/.cache/tracerboy_tpu), which covers
+    read-only scene checkouts."""
+    adjacent = path + ".tbcache.npz"
+    scene_dir = os.path.dirname(os.path.abspath(path))
+    if os.access(scene_dir, os.W_OK) and not os.path.abspath(
+            path).startswith("/root/reference"):
+        return adjacent
+    import hashlib
+
+    cache_dir = os.environ.get(
+        "TB_SCENE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "tracerboy_tpu"))
+    key = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:16]
+    return os.path.join(cache_dir, f"{os.path.basename(path)}.{key}.npz")
+
+
 def load_scene(path: str, use_cache: bool = True, film_size=None) -> CompiledScene:
     """Parse + compile a scene file, with transparent .npz caching.
 
+    The cache stores the scene at its NATIVE film resolution; a
+    film_size override only replaces the film dims on the returned
+    CompiledScene (the camera model is film-size independent — aspect
+    is derived at ray generation, trace/camera.py:108), so one cached
+    compile serves every render resolution.
+
     "shadertoy" / "shadertoy:<name>" selects a built-in procedural scene
     (scene/procedural.py — the reference kernel's IS_SHADER_TOY mode)."""
+    import dataclasses
+
     if path == "shadertoy" or path.startswith("shadertoy:"):
         from tracerboy_tpu.scene.procedural import shadertoy_scene
 
         name = path.split(":", 1)[1] if ":" in path else "benchmark"
         return shadertoy_scene(name, film_size=film_size)
     if path.endswith(".npz"):
-        return load_compiled(path)
-    cache = path + ".tbcache.npz"
-    if use_cache and film_size is None and os.path.exists(cache) and (
+        cs = load_compiled(path)
+        if film_size is not None:
+            cs = dataclasses.replace(
+                cs, film_width=film_size[0], film_height=film_size[1])
+        return cs
+
+    def with_film(cs):
+        if film_size is not None:
+            cs = dataclasses.replace(
+                cs, film_width=film_size[0], film_height=film_size[1])
+        return cs
+
+    cache = _cache_path(path)
+    if use_cache and os.path.exists(cache) and (
         os.path.getmtime(cache) >= os.path.getmtime(path)
     ):
         try:
-            return load_compiled(cache)
+            return with_film(load_compiled(cache))
         except Exception:
             pass
     ext = os.path.splitext(path)[1].lower()
@@ -994,12 +1036,13 @@ def load_scene(path: str, use_cache: bool = True, film_size=None) -> CompiledSce
         from tracerboy_tpu.scene.pbrt_parser import parse_pbrt
 
         scene_ir = parse_pbrt(path)
-    cs = compile_scene(scene_ir, film_size=film_size)
-    if use_cache and film_size is None and not cs.has_instances:
+    cs = compile_scene(scene_ir, film_size=None)
+    if use_cache and not cs.has_instances:
         # (TLAS scenes skip the .npz cache: per-object packed tables
         # are cheap to rebuild and not part of the flat-array format.)
         try:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
             save_compiled(cache, cs)
         except OSError:
-            pass  # read-only scene dir: skip caching
-    return cs
+            pass  # unwritable cache dir: skip caching
+    return with_film(cs)
