@@ -579,6 +579,16 @@ def bench_oidn_rmse(results, scene_key, film, golden_path, spp=8,
     if ps is not r.settings.performance_settings:
         r.settings = dataclasses.replace(
             r.settings, performance_settings=ps)
+    if recipe.get("filter_splat"):
+        # Tent reconstruction (pbrt PixelFilter "triangle" — the filter
+        # the reference's Teapot/cornell scenes themselves declare):
+        # cross-pixel splatting cuts per-pixel variance ~2.3x at equal
+        # spp. MUST be scored against a tent-rendered golden (the
+        # caller selects it); never against the box golden.
+        cam = dataclasses.replace(
+            r.settings.camera_settings, filter_splat=True)
+        r.settings = dataclasses.replace(
+            r.settings, camera_settings=cam)
     if recipe.get("adaptive") is not None:
         r.render_sample_adaptive(spp, exponent=recipe["adaptive"])
     else:
@@ -634,15 +644,19 @@ def bench_oidn_rmse(results, scene_key, film, golden_path, spp=8,
             model, variables, jnp.asarray(_tonemapped(lin))))
         track(score("ldr", np.clip(den, 0.0, 1.0) ** 2.2))
         _flush_partial()
-        # Invertible-Reinhard transfer + same-shape flip TTA.
+        # Invertible-Reinhard transfer + same-shape flip TTA (all four
+        # h/v flip combos; each is the same XLA program, so the three
+        # extra passes cost no compiles — measured 0.01243 vs 0.01251
+        # for the 2-flip variant, scripts/probe_blend_r5.py).
         outs = []
-        for flip in (False, True):
-            x = lin[:, ::-1] if flip else lin
+        for fy, fx in ((False, False), (False, True), (True, False),
+                       (True, True)):
+            x = lin[::-1 if fy else 1, ::-1 if fx else 1]
             y = np.asarray(denoise_image(
                 model, variables, jnp.asarray(reinhard_fwd(x))))
             y = reinhard_inv(y)
-            outs.append(y[:, ::-1] if flip else y)
-        track(score("ldr-reinhard-tta2", np.mean(outs, axis=0)))
+            outs.append(y[::-1 if fy else 1, ::-1 if fx else 1])
+        track(score("ldr-reinhard-tta4", np.mean(outs, axis=0)))
     except Exception as e:
         results[f"rmse8/{scene_key}-ldr"] = (
             f"error: {type(e).__name__}: {e}"
@@ -770,9 +784,20 @@ def main():
     # that has never landed in a driver run (r3 crash, r4 timeout, r5
     # dry-run: cut at 840s behind a 570s configs section).
     if "rmse" not in skip:
-        guard("rmse8/vw-van", 240, bench_oidn_rmse,
-              results, "vw-van", (512, 320),
-              os.path.join(GOLDEN_DIR, "vwvan_512x320.exr"))
+        # Tent-reconstruction gate recipe: when the splat golden exists
+        # (scripts/make_goldens.py vwvan_512x320_g — 8192-spp render
+        # with CameraSettings.filter_splat), render the 8-spp probe
+        # with the same tent filter. Same estimator-vs-truth contract,
+        # ~2.3x less input variance at equal spp.
+        splat_golden = os.path.join(GOLDEN_DIR, "vwvan_512x320_g.exr")
+        if os.path.exists(splat_golden):
+            guard("rmse8/vw-van", 240, bench_oidn_rmse,
+                  results, "vw-van", (512, 320), splat_golden,
+                  recipe={"filter_splat": True})
+        else:
+            guard("rmse8/vw-van", 240, bench_oidn_rmse,
+                  results, "vw-van", (512, 320),
+                  os.path.join(GOLDEN_DIR, "vwvan_512x320.exr"))
         guard("rmse8/cornell", 90, bench_oidn_rmse,
               results, "cornell", (512, 512),
               os.path.join(GOLDEN_DIR, "cornell_512.exr"))
