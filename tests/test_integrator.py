@@ -422,3 +422,90 @@ class TestBenchPath:
         )
         assert "albedo" not in lean and "albedo" in full
         assert float(lean["rays_traced"]) == float(full["rays_traced"])
+
+
+class TestSplitEarly:
+    """Contribution-depth split (WaveConfig.split_early): the early
+    plane plus its complement must partition the total EXACTLY on the
+    same samples, and split_early >= max_bounces-1 must equal the
+    total."""
+
+    def _run(self, split, env_nee=False, max_bounces=4):
+        import jax.numpy as jnp
+
+        import tests.conftest as c
+        from tracerboy_tpu.scene.compile import load_scene
+        from tracerboy_tpu.trace.wavefront import (
+            WaveConfig, render_wave, make_blue_noise_params,
+        )
+
+        path = c.require_scene("cornell-box/scene.pbrt")
+        cs = load_scene(path, use_cache=False, film_size=(32, 24))
+        scene = cs.as_pytree()
+        cfg = WaveConfig(
+            width=32, height=24, max_bounces=max_bounces,
+            leaf_size=cs.leaf_size, num_lights=cs.num_lights,
+            has_env=cs.has_env, traversal="brute", has_mix=False,
+            has_textures=False, want_aovs=False, split_early=split,
+            env_nee=env_nee,
+        )
+        ids = jnp.arange(32 * 24, dtype=jnp.int32)
+        params = dict(
+            dof_focus=jnp.float32(0), dof_aperture=jnp.float32(0),
+            firefly_clamp=jnp.float32(0), seed=jnp.int32(0),
+            bn=make_blue_noise_params(scene, ids, 32),
+        )
+        return render_wave(scene, params, ids, jnp.int32(0), cfg)
+
+    def test_partition_and_saturation(self):
+        out = self._run(split=1)
+        assert "radiance_early_r" in out
+        early = np.asarray(out["radiance_early_r"])
+        total = np.asarray(out["radiance_r"])
+        # early is a nonnegative part of the total
+        assert (early >= -1e-6).all()
+        assert (early <= total + 1e-5).all()
+        assert 0.0 < early.sum() < total.sum()
+
+        # split beyond the deepest bounce captures everything
+        sat = self._run(split=99)
+        np.testing.assert_allclose(
+            np.asarray(sat["radiance_early_r"]),
+            np.asarray(sat["radiance_r"]), atol=1e-6)
+
+        off = self._run(split=-1)
+        assert "radiance_early_r" not in off
+        # the split must not perturb the estimator
+        np.testing.assert_allclose(
+            np.asarray(off["radiance_r"]), total, atol=1e-6)
+
+    def test_merged_fold_carries_planes(self):
+        import jax.numpy as jnp
+
+        import tests.conftest as c
+        from tracerboy_tpu.scene.compile import load_scene
+        from tracerboy_tpu.trace.wavefront import (
+            WaveConfig, render_wave_merged, make_blue_noise_params,
+        )
+
+        path = c.require_scene("cornell-box/scene.pbrt")
+        cs = load_scene(path, use_cache=False, film_size=(16, 16))
+        scene = cs.as_pytree()
+        cfg = WaveConfig(
+            width=16, height=16, max_bounces=3,
+            leaf_size=cs.leaf_size, num_lights=cs.num_lights,
+            has_env=cs.has_env, traversal="brute", has_mix=False,
+            has_textures=False, want_aovs=False, split_early=1,
+        )
+        ids = jnp.arange(16 * 16, dtype=jnp.int32)
+        params = dict(
+            dof_focus=jnp.float32(0), dof_aperture=jnp.float32(0),
+            firefly_clamp=jnp.float32(0), seed=jnp.int32(0),
+            bn=make_blue_noise_params(scene, ids, 16),
+        )
+        out = render_wave_merged(scene, params, ids, jnp.int32(0),
+                                 k=2, cfg=cfg)
+        assert out["radiance_early_r"].shape == (16 * 16,)
+        early = np.asarray(out["radiance_early_r"])
+        total = np.asarray(out["radiance_r"])
+        assert (early <= total + 1e-5).all()

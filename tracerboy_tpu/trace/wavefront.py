@@ -611,6 +611,17 @@ class WaveConfig:
     # estimator pair unbiased for any M. Streams bound M to 8
     # (core/rng.py STREAM_ENV_NEE_X).
     env_nee_samples: int = 1
+    # Contribution-depth split: when >= 0, the wave ALSO emits
+    # radiance_early_{r,g,b} planes holding only the contributions
+    # recorded at bounce iterations i <= split_early (primary
+    # emissive/background at i=0, first-vertex NEE/env-NEE and
+    # first-bounce escapes at i=1, ...). The late plane is exactly
+    # radiance - radiance_early on the same samples, so callers get an
+    # unbiased two-plane decomposition of ONE trace at a few selects'
+    # cost — used for split-plane denoising experiments and as a
+    # light-path AOV (the near/far light split other renderers expose
+    # as LPE 'L.{0,1}' vs deeper). -1 disables (no state, no cost).
+    split_early: int = -1
     # Compile-time scene facts: scenes without mix materials / textures
     # skip those fetch paths entirely.
     has_mix: bool = True
@@ -922,6 +933,10 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
         rays_traced=jnp.sum(vz),
         live_end=jnp.sum(vz),
     )
+    if cfg.split_early >= 0:
+        state["rad_early"] = vzero3
+        if cfg.has_env:
+            state["miss_early"] = vz != 0.0
     if cfg.has_volume:
         # Phase pdf of the PREVIOUS vertex's HG continuation (0 = the
         # previous vertex was not a volume scatter). Carried for the
@@ -1042,6 +1057,9 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
             s["env_throughput"] = v3.where(
                 miss, rec, s["env_throughput"]
             )
+            if cfg.split_early >= 0:
+                s["miss_early"] = s["miss_early"] | (
+                    miss & (i <= cfg.split_early))
             if cfg.want_aovs or cfg.decouple_albedo:
                 s["first_miss"] = s["first_miss"] | (miss & (i == 0))
         alive = alive & ~miss
@@ -1214,6 +1232,12 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
             s["radiance"] + s["throughput"] * mat["emissive"],
             s["radiance"],
         )
+        if cfg.split_early >= 0:
+            s["rad_early"] = v3.where(
+                add_emissive & (i <= cfg.split_early),
+                s["rad_early"] + s["throughput"] * mat["emissive"],
+                s["rad_early"],
+            )
         if (cfg.has_volume and cfg.volume_light_mis and cfg.enable_nee
                 and cfg.num_lights > 0):
             # Phase<->light MIS, phase side: a lane whose previous
@@ -1243,6 +1267,13 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
                 s["radiance"] + s["throughput"] * mat["emissive"] * w_ph,
                 s["radiance"],
             )
+            if cfg.split_early >= 0:
+                s["rad_early"] = v3.where(
+                    vol_emis & (i <= cfg.split_early),
+                    s["rad_early"]
+                    + s["throughput"] * mat["emissive"] * w_ph,
+                    s["rad_early"],
+                )
             if cfg.decouple_albedo:
                 s["rad_d"] = v3.where(
                     vol_emis,
@@ -1384,6 +1415,12 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
             s["radiance"] = v3.where(
                 add, s["radiance"] + contrib * light_mult, s["radiance"]
             )
+            if cfg.split_early >= 0:
+                s["rad_early"] = v3.where(
+                    add & (i <= cfg.split_early),
+                    s["rad_early"] + contrib * light_mult,
+                    s["rad_early"],
+                )
             if cfg.decouple_albedo:
                 # Diffuse NEE at the first SURFACE vertex is fully
                 # albedo-modulated (w=1); a first-bounce VOLUME vertex
@@ -1693,6 +1730,12 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
             s["radiance"] = v3.where(
                 e_add_any, s["radiance"] + e_contrib_sum, s["radiance"]
             )
+            if cfg.split_early >= 0:
+                s["rad_early"] = v3.where(
+                    e_add_any & (i <= cfg.split_early),
+                    s["rad_early"] + e_contrib_sum,
+                    s["rad_early"],
+                )
             if cfg.decouple_albedo:
                 s["rad_d"] = v3.where(
                     e_add_any, s["rad_d"] + e_contrib_d_sum, s["rad_d"]
@@ -1803,6 +1846,10 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
             state["rad_d"] = state["rad_d"] + live_env * state["dc_w"]
         else:
             radiance = radiance + env_contrib
+        if cfg.split_early >= 0:
+            state["rad_early"] = state["rad_early"] + v3.where(
+                state["miss_early"], env_contrib, vzero3
+            )
         if cfg.want_aovs:
             state["aov_emissive"] = v3.where(
                 state["first_miss"], env_contrib, state["aov_emissive"]
@@ -1831,6 +1878,21 @@ def render_wave(scene, params, pixel_ids, sample_index, cfg: WaveConfig):
     if cfg.filter_splat:
         out["jit_u"] = jit_u
         out["jit_v"] = jit_v
+    if cfg.split_early >= 0:
+        # Same clamp/NaN policy as the total so early + late (= total -
+        # early) stays an exact partition under the default clamp-off
+        # gate config; a nonzero firefly clamp bounds each plane
+        # independently (the partition then holds only approximately).
+        rad_e = state["rad_early"]
+        rad_e = V3(
+            jnp.where(do_clamp, jnp.minimum(rad_e.x, clamp), rad_e.x),
+            jnp.where(do_clamp, jnp.minimum(rad_e.y, clamp), rad_e.y),
+            jnp.where(do_clamp, jnp.minimum(rad_e.z, clamp), rad_e.z),
+        )
+        rad_e = v3.where(v3.isnan_any(rad_e), vzero3, rad_e) * fw
+        out["radiance_early_r"] = rad_e.x
+        out["radiance_early_g"] = rad_e.y
+        out["radiance_early_b"] = rad_e.z
     if cfg.decouple_albedo:
         rad_d = v3.where(
             v3.isnan_any(state["rad_d"]), vzero3, state["rad_d"]
@@ -1953,6 +2015,10 @@ def render_wave_merged(scene, params, pixel_ids, base_sample, k: int,
             rays_traced=out["rays_traced"],
             live_end=out["live_end"],
         )
+    if cfg.split_early >= 0:
+        for c in ("r", "g", "b"):
+            result["radiance_early_" + c] = fold(
+                out["radiance_early_" + c])
     if fold_var:
         # Per-pixel first/second moments of the per-sample TONEMAPPED
         # luma — the pilot statistic for variance-guided sample
