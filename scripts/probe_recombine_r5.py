@@ -63,6 +63,9 @@ def main():
 
     if os.path.exists(TRACE):
         lin = np.load(TRACE)
+    elif os.path.exists("/tmp/vwvan_split.npz"):
+        # reuse the split probe's trace (same seed-0 8-spp config)
+        lin = np.load("/tmp/vwvan_split.npz")["total"]
     else:
         from tracerboy_tpu.renderer import Renderer
 

@@ -151,6 +151,86 @@ def load_with_progress(path, film_size):
     return Renderer(fut.result(), film_size=film_size)
 
 
+class ViewerController:
+    """Headless-testable event core of the interactive viewer: all
+    key/click behavior lives here; run_viewer only wires matplotlib
+    events to it. Mirrors the reference's input routing
+    (D3D12App.cpp:146-152 OnKeyDown -> camera/UI dispatch,
+    275-314 SelectPixel/material round trip)."""
+
+    def __init__(self, renderer, capture_writer=None):
+        from tracerboy_tpu.utils.config import OutputType
+
+        self.renderer = renderer
+        self.panel = SettingsPanel(renderer)
+        self.selected_mat = None
+        self.move = 0.25 * renderer.settings.camera_settings.movement_speed
+        self.aov_cycle = [
+            OutputType.LIT, OutputType.ALBEDO, OutputType.NORMAL,
+            OutputType.DEPTH, OutputType.VARIANCE, OutputType.HEATMAP,
+        ]
+        self._capture = capture_writer  # injectable for tests
+
+    def on_key(self, k) -> str:
+        """Handle one key; returns what it did ('' = unhandled)."""
+        from tracerboy_tpu.utils.config import RenderMode
+
+        r = self.renderer
+        if self.panel.handle_key(k):
+            return "panel"
+        cam_moves = {
+            "w": dict(forward=self.move), "s": dict(forward=-self.move),
+            "a": dict(strafe=-self.move), "d": dict(strafe=self.move),
+            "q": dict(upward=-self.move), "e": dict(upward=self.move),
+            "left": dict(yaw=-0.1), "right": dict(yaw=0.1),
+            "up": dict(pitch=-0.1), "down": dict(pitch=0.1),
+        }
+        if k in cam_moves:
+            r.move_camera(**cam_moves[k])
+            return "camera"
+        if k == "f5":
+            r.recompile_shaders()
+            return "recompile"
+        if k in ("[", "]") and self.selected_mat is not None:
+            # Live material edit on the picked pixel's material
+            # (the D3D12App.cpp:307-314 round trip).
+            mid = self.selected_mat
+            alb = r.get_material(mid)["albedo"]
+            scale = 1.25 if k == "]" else 0.8
+            r.set_material(mid, albedo=np.clip(alb * scale, 0, 1))
+            return "material"
+        if k == "m":
+            mode = (RenderMode.REAL_TIME
+                    if r.settings.render_mode == RenderMode.UNBIASED
+                    else RenderMode.UNBIASED)
+            r.update_settings(r.settings.replace(render_mode=mode))
+            return "mode"
+        if k == "o":
+            cur = self.aov_cycle.index(r.settings.output_type) \
+                if r.settings.output_type in self.aov_cycle else 0
+            r.settings = r.settings.replace(
+                output_type=self.aov_cycle[
+                    (cur + 1) % len(self.aov_cycle)]
+            )
+            return "aov"
+        if k == "p":
+            if self._capture is not None:
+                self._capture(r.current_image())
+            else:
+                from tracerboy_tpu.core import image_io
+
+                image_io.write_png(
+                    f"capture_{r.state.spp:05d}.png", r.current_image())
+            return "capture"
+        return ""
+
+    def on_click(self, x, y) -> dict | None:
+        info = self.renderer.select_pixel(int(x), int(y))
+        if info:
+            self.selected_mat = info["material_id"]
+        return info
+
+
 def run_viewer(renderer, samples_per_frame: int = 1):
     import matplotlib
 
@@ -160,7 +240,7 @@ def run_viewer(renderer, samples_per_frame: int = 1):
         pass
     import matplotlib.pyplot as plt
 
-    from tracerboy_tpu.utils.config import OutputType, RenderMode
+    from tracerboy_tpu.utils.config import RenderMode
 
     fig, ax = plt.subplots(figsize=(8, 6))
     fig.canvas.manager.set_window_title("tracerboy-tpu")
@@ -168,68 +248,29 @@ def run_viewer(renderer, samples_per_frame: int = 1):
     ax.set_axis_off()
     status = ax.set_title("rendering...")
 
-    move = 0.25 * renderer.settings.camera_settings.movement_speed
-    aov_cycle = [OutputType.LIT, OutputType.ALBEDO, OutputType.NORMAL,
-                 OutputType.DEPTH, OutputType.VARIANCE, OutputType.HEATMAP]
-    panel = SettingsPanel(renderer)
+    ctl = ViewerController(renderer)
     panel_text = ax.text(
         0.02, 0.98, "", transform=ax.transAxes, va="top", ha="left",
         fontsize=9, family="monospace", color="white",
         bbox=dict(facecolor="black", alpha=0.65, pad=6),
     )
-    selected = {"mat": None}
 
     def on_key(event):
-        k = event.key
-        if panel.handle_key(k):
-            panel_text.set_text(panel.text())
-            return
-        cam_moves = {
-            "w": dict(forward=move), "s": dict(forward=-move),
-            "a": dict(strafe=-move), "d": dict(strafe=move),
-            "q": dict(upward=-move), "e": dict(upward=move),
-            "left": dict(yaw=-0.1), "right": dict(yaw=0.1),
-            "up": dict(pitch=-0.1), "down": dict(pitch=0.1),
-        }
-        if k in cam_moves:
-            renderer.move_camera(**cam_moves[k])
-        elif k == "f5":
-            renderer.recompile_shaders()
+        did = ctl.on_key(event.key)
+        if did == "panel":
+            panel_text.set_text(ctl.panel.text())
+        elif did == "recompile":
             print("shaders recompiled")
-        elif k in ("[", "]") and selected["mat"] is not None:
-            # Live material edit on the picked pixel's material
-            # (the D3D12App.cpp:307-314 round trip).
-            mid = selected["mat"]
-            alb = renderer.get_material(mid)["albedo"]
-            scale = 1.25 if k == "]" else 0.8
-            renderer.set_material(mid, albedo=np.clip(alb * scale, 0, 1))
-            print(f"material {mid} albedo -> {alb * scale}")
-        elif k == "m":
-            mode = (RenderMode.REAL_TIME
-                    if renderer.settings.render_mode == RenderMode.UNBIASED
-                    else RenderMode.UNBIASED)
-            renderer.update_settings(renderer.settings.replace(render_mode=mode))
-        elif k == "o":
-            cur = aov_cycle.index(renderer.settings.output_type) \
-                if renderer.settings.output_type in aov_cycle else 0
-            renderer.settings = renderer.settings.replace(
-                output_type=aov_cycle[(cur + 1) % len(aov_cycle)]
-            )
-        elif k == "p":
-            from tracerboy_tpu.core import image_io
-
-            image_io.write_png(f"capture_{renderer.state.spp:05d}.png",
-                               renderer.current_image())
 
     def on_click(event):
         if event.xdata is None:
             return
-        info = renderer.select_pixel(int(event.xdata), int(event.ydata))
+        info = ctl.on_click(event.xdata, event.ydata)
         if info:
-            selected["mat"] = info["material_id"]
             print(f"pixel ({int(event.xdata)}, {int(event.ydata)}): "
-                  f"material {info['material_id']} depth {info['depth']:.3f} "
-                  f"albedo {info['albedo']}  ('['/']' edits albedo)")
+                  f"material {info['material_id']} depth "
+                  f"{info['depth']:.3f} albedo {info['albedo']}  "
+                  f"('['/']' edits albedo)")
             print(renderer.get_material(info["material_id"]))
 
     fig.canvas.mpl_connect("key_press_event", on_key)
