@@ -190,6 +190,7 @@ def test_binned_overflow_scene_falls_back(rng):
     np.testing.assert_allclose(t[hit], t_ref[hit], rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_binned_in_renderer_matches_brute(tmp_path):
     """End-to-end: a full render_sample with binned bounce waves matches
     the brute-force backend on the same scene + sampler streams."""

@@ -317,6 +317,7 @@ class TestInstancedAnimation:
             out.append(np.linalg.inv(A))
         return np.stack(out)
 
+    @pytest.mark.slow
     def test_transform_refit_matches_recompile(self, tmp_path):
         shift = (0.7, 0.3, -0.5)
         cs = self._compile(tmp_path, "a.pbrt", self._scene_text())
@@ -333,6 +334,7 @@ class TestInstancedAnimation:
         close = np.isclose(img, ref, rtol=1e-3, atol=5e-3)
         assert close.mean() > 0.98, close.mean()
 
+    @pytest.mark.slow
     def test_object_rebuild_matches_recompile(self, tmp_path):
         cs = self._compile(tmp_path, "a.pbrt", self._scene_text())
         cs_big = self._compile(

@@ -56,6 +56,7 @@ GLASS_SPHERE = """
 
 
 class TestDOF:
+    @pytest.mark.slow
     def test_dof_blurs_out_of_focus(self, tmp_path):
         import dataclasses
 
@@ -311,6 +312,7 @@ class TestRoughRefraction:
     1535-1556): a rough glass sphere scatters transmitted rays into a
     pow lobe, visibly blurring what a smooth sphere images sharply."""
 
+    @pytest.mark.slow
     def test_rough_glass_differs_from_smooth(self, tmp_path):
         imgs = {}
         for name, body in (("smooth", GLASS_SPHERE), ("rough", ROUGH_GLASS)):
@@ -356,6 +358,7 @@ class TestRoughRefraction:
         assert cos_means[0.6] < cos_means[0.1]
 
 
+@pytest.mark.slow
 def test_heatmap_aov_nonzero_on_pallas(tmp_path):
     """The traversal-cost heatmap must be non-zero on the pallas backend
     (round-2 gap: render_wave hardwired cost = 0 there). The primary

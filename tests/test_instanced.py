@@ -87,6 +87,7 @@ def test_tlas_memory_scales_with_unique_geometry(instanced_pair):
     assert int(pt_tlas["inst_obj"].shape[0]) == GRID * GRID
 
 
+@pytest.mark.slow
 def test_tlas_renders_pixel_parity(instanced_pair):
     import tracerboy_tpu.trace.pallas_traverse2 as pt2
     from tests.test_pallas import _patch_interpret

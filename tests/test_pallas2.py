@@ -116,6 +116,7 @@ def test_v2_dead_rays_ignored(rng):
     assert not occ[::2].any()
 
 
+@pytest.mark.slow
 def test_v2_sub_parameter_parity(rng):
     """Packet height (sub=) must not change results: 512/1024-ray
     packets vs the default 2048 (static knob, TB_PACKET_SUB)."""
@@ -136,6 +137,7 @@ def test_v2_sub_parameter_parity(rng):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_v2_interval_nodes_parity(rng):
     """Interval (frustum) node phase is conservative-only: identical
     final hits to the per-ray slab phase, including dead lanes and

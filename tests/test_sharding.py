@@ -95,6 +95,7 @@ def test_tiled_nondivisible_padding(small_scene):
     np.testing.assert_allclose(tiled, single, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tiled_pallas_backend(small_scene):
     """The pallas packet backend under tile sharding (interpret kernels
     on the CPU mesh) matches the brute single-device render."""
@@ -159,6 +160,7 @@ class TestRendererSharding:
     """The PRODUCT multi-chip path: Renderer(shard=...) end to end."""
 
     @pytest.mark.smoke
+    @pytest.mark.slow
     def test_tiles_matches_single_device(self, cornell_path):
         r_ref = _mini_renderer(cornell_path, shard=None)
         r_ref.render_sample()
@@ -191,6 +193,7 @@ class TestRendererSharding:
         r.render_sample(3)
         assert r.state.spp == 8
 
+    @pytest.mark.slow
     def test_tiles_nondivisible_film(self, cornell_path):
         """30x19 = 570 pixels pads to the mesh; padded lanes must not
         pollute the accumulator."""

@@ -99,6 +99,7 @@ class TestSobolProperties:
 
 
 class TestSobolIntegration:
+    @pytest.mark.slow
     def test_lambert_sky_unbiased(self, tmp_path):
         """The analytic zero-variance case must still be exact with the
         sobol sampler (albedo under a unit sky)."""

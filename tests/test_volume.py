@@ -377,6 +377,7 @@ class TestVolumeLightMIS:
             w_ph = p_phase / (p_phase + p_lw_hit)
             assert abs(w_nee + w_ph - 1.0) < 1e-6
 
+    @pytest.mark.slow
     def test_mis_unbiased_cornell_cloud(self):
         """Cornell + cloud: the MIS estimator's mean matches the
         NEE-only estimator's within joint SE (both unbiased)."""
