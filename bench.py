@@ -655,7 +655,8 @@ def bench_oidn_rmse(results, scene_key, film, golden_path, spp=8,
         # undo the gamma to score in linear-consistent space.
         den = np.asarray(denoise_image(
             model, variables, jnp.asarray(_tonemapped(lin))))
-        track(score("ldr", np.clip(den, 0.0, 1.0) ** 2.2))
+        clip_lin = np.clip(den, 0.0, 1.0) ** 2.2
+        track(score("ldr", clip_lin))
         _flush_partial()
         # Invertible-Reinhard transfer + same-shape flip TTA (all four
         # h/v flip combos; each is the same XLA program, so the three
@@ -669,7 +670,13 @@ def bench_oidn_rmse(results, scene_key, film, golden_path, spp=8,
                 model, variables, jnp.asarray(reinhard_fwd(x))))
             y = reinhard_inv(y)
             outs.append(y[::-1 if fy else 1, ::-1 if fx else 1])
-        track(score("ldr-reinhard-tta4", np.mean(outs, axis=0)))
+        tta4 = np.mean(outs, axis=0)
+        track(score("ldr-reinhard-tta4", tta4))
+        # Transfer-ensemble: blend the clip-transfer member into the
+        # reinhard TTA (their structured errors are partially
+        # independent; 25% measured best — probe_recombine_r5.py,
+        # 0.01228 vs 0.01237 on vw-van). Zero extra denoiser passes.
+        track(score("ldr-mix25", 0.75 * tta4 + 0.25 * clip_lin))
     except Exception as e:
         results[f"rmse8/{scene_key}-ldr"] = (
             f"error: {type(e).__name__}: {e}"
