@@ -661,14 +661,22 @@ def bench_oidn_rmse(results, scene_key, film, golden_path, spp=8,
         # Invertible-Reinhard transfer + same-shape flip TTA (all four
         # h/v flip combos; each is the same XLA program, so the three
         # extra passes cost no compiles — measured 0.01243 vs 0.01251
-        # for the 2-flip variant, scripts/probe_blend_r5.py).
+        # for the 2-flip variant, scripts/probe_blend_r5.py). The frame
+        # is auto-exposed BEFORE the transfer (and un-exposed after):
+        # the UNet then sees the same brightness distribution the
+        # display pipeline shows, which measured 0.8% better than the
+        # raw-radiance transfer on the dark vw-van interior
+        # (/tmp -> README round-5 postmortem, exposure sweep).
+        from tracerboy_tpu.post.pipeline import auto_exposure_scale
+
+        expo = float(auto_exposure_scale(jnp.asarray(lin)))
         outs = []
         for fy, fx in ((False, False), (False, True), (True, False),
                        (True, True)):
-            x = lin[::-1 if fy else 1, ::-1 if fx else 1]
+            x = lin[::-1 if fy else 1, ::-1 if fx else 1] * expo
             y = np.asarray(denoise_image(
                 model, variables, jnp.asarray(reinhard_fwd(x))))
-            y = reinhard_inv(y)
+            y = reinhard_inv(y) / expo
             outs.append(y[::-1 if fy else 1, ::-1 if fx else 1])
         tta4 = np.mean(outs, axis=0)
         track(score("ldr-reinhard-tta4", tta4))
