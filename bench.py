@@ -19,11 +19,13 @@ Prints ONE JSON line:
 HARD WALL-CLOCK BUDGET (round-5 rebuild after two driver runs produced
 no numbers — r3 rc=1 crash, r4 rc=124 timeout; the reference's one ops
 lesson is the same: fit the watchdog, Scripts/TdrDelay.reg):
-- TB_BENCH_BUDGET / --budget seconds (default 1500) bound the whole run.
+- TB_BENCH_BUDGET / --budget seconds (default 2400) bound the whole run.
   (Round-5 calibration: a fully-warm gate set runs ~1300-1600 s on this
-  tunnel incl. ~130 s device init; the round-2 driver run that landed
-  numbers ran longer than that, and SIGTERM/alarm guarantee the JSON
-  line even if the driver's own timeout is tighter.)
+  tunnel, but tunnel variance is large — device init alone measured
+  130-500 s across the day, and one warm rmse8 section swung 226->770 s.
+  A larger budget cannot lose data: if the driver's own timeout is
+  tighter, its SIGTERM triggers the handler, which emits the JSON line
+  with everything measured so far. Sections still run gates-first.)
 - Sections execute cheapest-and-most-valuable first; each is skipped
   outright when the remaining budget can't cover its worst case.
 - Results flush incrementally to BENCH_partial.json after every section.
@@ -61,7 +63,7 @@ SCENES = {
 # --- budget / emission machinery -------------------------------------------
 
 _T0 = time.time()
-_DEADLINE = _T0 + float(os.environ.get("TB_BENCH_BUDGET", "1500"))
+_DEADLINE = _T0 + float(os.environ.get("TB_BENCH_BUDGET", "2400"))
 _RESULTS: dict = {}
 _K1_QUEUE: list = []
 _HEADLINE = {"value": 0.0}
@@ -794,7 +796,7 @@ def main():
     ap.add_argument("--runs", type=int, default=100)
     ap.add_argument("--budget", type=float,
                     default=float(os.environ.get("TB_BENCH_BUDGET",
-                                                 "1500")),
+                                                 "2400")),
                     help="hard wall-clock budget in seconds; the JSON "
                          "line prints no matter what by then")
     args = ap.parse_args()
