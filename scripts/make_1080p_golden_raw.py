@@ -37,33 +37,33 @@ def main():
     stop_at = float(sys.argv[2]) if len(sys.argv) > 2 else float("inf")
     t0 = time.time()
 
-    from tracerboy_tpu.core.image_io import read_exr_rgb, write_exr_rgb
+    from tracerboy_tpu.core.image_io import write_exr
     from tracerboy_tpu.renderer import Renderer
 
+    ACC = "/root/repo/goldens/vwvan_1080p_raw_acc.npy"
     done = 0
     acc = None
-    if os.path.exists(META) and os.path.exists(EXR):
+    if os.path.exists(META) and os.path.exists(ACC):
         with open(META) as f:
             done = json.load(f)["spp"]
-        acc = read_exr_rgb(EXR).astype(np.float64) * done
+        acc = np.load(ACC)  # float32 radiance SUM (resume-exact)
         print(f"resuming from {done} spp", flush=True)
 
-    r = Renderer(SCENE, film_size=FILM, seed=done)
-    print(f"renderer ready {time.time()-t0:.0f}s", flush=True)
     while done < target and time.time() < stop_at:
-        r.invalidate_history()
-        # fresh sample window: renderer accumulates CHUNK samples with
-        # sample indices starting at `done` via the seed offset
+        # a fresh Renderer per chunk: seed = spp offset decorrelates the
+        # chunks; the scene cache + in-process jit cache make the
+        # rebuild a device re-put, not a recompile.
+        r = Renderer(SCENE, film_size=FILM, seed=done)
         n = 0
         while n < CHUNK:
             r.render_sample(16)
             n += 16
         img = np.maximum(np.asarray(r.resolve_radiance()), 0.0)
-        acc = img.astype(np.float64) * CHUNK if acc is None \
-            else acc + img.astype(np.float64) * CHUNK
+        acc = img * np.float32(CHUNK) if acc is None \
+            else acc + img * np.float32(CHUNK)
         done += CHUNK
-        r.seed = done  # decorrelate the next chunk
-        write_exr_rgb(EXR, (acc / done).astype(np.float32))
+        np.save(ACC, acc)
+        write_exr(EXR, (acc / done).astype(np.float32))
         with open(META, "w") as f:
             json.dump(dict(spp=done, film=FILM,
                            updated=time.strftime("%F %T")), f)
