@@ -927,6 +927,12 @@ def main():
                   results, "vw-van", (1920, 1200),
                   os.path.join(GOLDEN_DIR, "vwvan_1080p.exr"),
                   time_limit=480.0, tag="vw-van-1080p")
+        gjson = os.path.join(GOLDEN_DIR, "vwvan_1080p.json")
+        if os.path.exists(gjson):
+            # scripts/promote_1080p_golden.py: the golden is a RAW
+            # unbiased accumulation; report its spp + noise ceiling.
+            with open(gjson) as f:
+                results["psnr35/vw-van-1080p-golden"] = json.load(f)
         if os.path.exists(
                 os.path.join(GOLDEN_DIR, "vwvan_1080p.PROXY")):
             # scripts/make_1080p_golden.py writes this marker when the
