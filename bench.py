@@ -706,13 +706,14 @@ def bench_oidn_rmse(results, scene_key, film, golden_path, spp=8,
 
         expo = float(auto_exposure_scale(jnp.asarray(lin)))
 
-        def tta4_of(img, e):
+        def tta4_of(img, e, m=None, v=None):
+            m, v = m or model, v or variables
             outs = []
             for fy, fx in ((False, False), (False, True), (True, False),
                            (True, True)):
                 x = img[::-1 if fy else 1, ::-1 if fx else 1] * e
                 y = np.asarray(denoise_image(
-                    model, variables, jnp.asarray(reinhard_fwd(x))))
+                    m, v, jnp.asarray(reinhard_fwd(x))))
                 y = reinhard_inv(y) / e
                 outs.append(y[::-1 if fy else 1, ::-1 if fx else 1])
             return np.mean(outs, axis=0)
@@ -731,6 +732,23 @@ def bench_oidn_rmse(results, scene_key, film, golden_path, spp=8,
         # 0.01228 vs 0.01237 on vw-van). Zero extra denoiser passes.
         mix = 0.75 * tta4 + 0.25 * clip_lin
         track(score("ldr-mix25", mix))
+        # Scene-adapted fine-tuned member (ml/finetune.py): the same
+        # UNet re-trained on THIS renderer's 8-spp noise (noisier-target
+        # L2 on orbit views that exclude the gate camera). Runs only
+        # when the weights have been trained (scripts/train_rt_ldr_ft.py)
+        # and committed; per-scene min keeps it strictly additive.
+        ft_path = os.path.join(
+            os.path.dirname(__file__),
+            "tracerboy_tpu", "ml", "weights", "rt_ldr_ft.npz")
+        ft = None
+        if os.path.exists(ft_path):
+            from tracerboy_tpu.ml.finetune import load_params_npz
+
+            ft_m, ft_v = load_params_npz(ft_path)
+            ft = tta4_of(lin, expo, ft_m, ft_v)
+            track(score("ft-tta4", ft))
+            track(score("ft-blend", 0.5 * ft + 0.5 * mix))
+            _flush_partial()
         if early is not None:
             # Split-plane member (probe_split_r5): denoise the early
             # (bounce<=split) and late planes separately — structurally
@@ -741,6 +759,9 @@ def bench_oidn_rmse(results, scene_key, film, golden_path, spp=8,
             split_sum = tta4_of(early, expo) + tta4_of(
                 np.maximum(lin - early, 0.0), expo)
             track(score("split-blend", 0.5 * mix + 0.5 * split_sum))
+            if ft is not None:
+                track(score("ft-split-blend",
+                            (ft + mix + split_sum) / 3.0))
     except Exception as e:
         results[f"rmse8/{scene_key}-ldr"] = (
             f"error: {type(e).__name__}: {e}"
